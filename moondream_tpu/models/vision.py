@@ -1,0 +1,152 @@
+"""SigLIP-style vision encoder + projection (functional JAX).
+
+Behavioral parity with the reference encoder
+(/root/reference/moondream/torch/vision.py:25-147): linear patch embedding,
+learned position embeddings, `enc_n_layers` pre-LN transformer blocks with
+fused-QKV bidirectional attention and tanh-GELU MLP, final LN, then a
+projection that mean-pools stitched local features to a 27x27 grid, concats
+with the global crop's features, and maps to the text width via a 2-layer MLP.
+
+TPU-first design choices (not ports):
+  * Per-block weights are stacked along a leading layer axis and the block
+    loop is a `lax.scan` — one compiled block body regardless of depth.
+  * Crop batches are padded to static bucket sizes by the caller so the
+    encoder compiles for a handful of shapes only.
+  * The adaptive mean-pool is expressed as a dense pooling matrix (built once
+    per input grid size) applied as two matmuls — MXU-friendly, and exactly
+    equal to torch's adaptive_avg_pool2d bin semantics.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VisionConfig
+from ..ops.layers import attn, layer_norm, linear, mlp
+
+
+def create_patches(x: jax.Array, patch_size: int) -> jax.Array:
+    """(B, H, W, C) uint/float image tensor -> (B, n_patches, C*P*P).
+
+    Channel-last input (natural layout for host arrays); the per-patch feature
+    order matches the reference's (C, P1, P2) flattening
+    (vision.py:44-61) so patch-embedding weights are interchangeable.
+    """
+    b, h, w, c = x.shape
+    p = patch_size
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    # -> (B, H/P, W/P, C, P, P): same per-patch element order as the reference.
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, (h // p) * (w // p), c * p * p)
+
+
+def vision_encoder(crops_bhwc: jax.Array, w: dict, config: VisionConfig) -> jax.Array:
+    """Encode a batch of crops: (B, 378, 378, 3) in [-1, 1] -> (B, 729, enc_dim).
+
+    Reference: vision.py:64-74.
+    """
+    x = create_patches(crops_bhwc, config.enc_patch_size)
+    x = linear(x, w["patch_emb"])
+    x = x + w["pos_emb"]
+
+    def block(h, bw):
+        h = h + attn(layer_norm(h, bw["ln1"]), bw["attn"], config.enc_n_heads)
+        h = h + mlp(layer_norm(h, bw["ln2"]), bw["mlp"])
+        return h, None
+
+    x, _ = jax.lax.scan(block, x, w["blocks"])
+    return layer_norm(x, w["post_ln"])
+
+
+@lru_cache(maxsize=8)
+def _pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense (out_size, in_size) row-stochastic matrix replicating
+    torch.adaptive_avg_pool2d's bin edges: bin i averages input rows
+    [floor(i*n/out), ceil((i+1)*n/out))."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -((-(i + 1) * in_size) // out_size)  # ceil
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    return m
+
+
+def adaptive_avg_pool2d(x: jax.Array, out_hw: tuple) -> jax.Array:
+    """(H, W, C) -> (out_h, out_w, C) adaptive mean pool as two matmuls."""
+    in_h, in_w = int(x.shape[0]), int(x.shape[1])
+    out_h, out_w = out_hw
+    ph = jnp.asarray(_pool_matrix(in_h, out_h), dtype=jnp.float32)
+    pw = jnp.asarray(_pool_matrix(in_w, out_w), dtype=jnp.float32)
+    xf = x.astype(jnp.float32)
+    pooled = jnp.einsum("oh,hwc->owc", ph, xf)
+    pooled = jnp.einsum("pw,owc->opc", pw, pooled)
+    return pooled.astype(x.dtype)
+
+
+def vision_projection(
+    global_features: jax.Array,
+    reconstructed: jax.Array,
+    w: dict,
+    config: VisionConfig,
+) -> jax.Array:
+    """Fuse global crop features with pooled stitched local features.
+
+    global_features: (729, enc_dim); reconstructed: (H, W, enc_dim) stitched
+    local feature plane. Returns (729, proj_out_dim). Reference vision.py:77-89.
+    """
+    g = config.grid_size
+    pooled = adaptive_avg_pool2d(reconstructed, (g, g)).reshape(g * g, config.enc_dim)
+    fused = jnp.concatenate([global_features, pooled], axis=-1)
+    return mlp(fused, w["proj_mlp"])
+
+
+def init_vision_params(config: VisionConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random-init parameter pytree (shapes matching build_vision_model,
+    reference vision.py:92-147, with (in, out) linear layout and stacked
+    blocks)."""
+    d, ff, L = config.enc_dim, config.enc_ff_dim, config.enc_n_layers
+    pd = config.patch_dim
+    keys = iter(jax.random.split(key, 16))
+
+    def lin(k, i, o):
+        return {
+            "w": (jax.random.normal(k, (i, o)) * (i**-0.5)).astype(dtype),
+            "b": jnp.zeros((o,), dtype),
+        }
+
+    def ln():
+        return {"weight": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)}
+
+    def stacked_lin(k, i, o):
+        return {
+            "w": (jax.random.normal(k, (L, i, o)) * (i**-0.5)).astype(dtype),
+            "b": jnp.zeros((L, o), dtype),
+        }
+
+    return {
+        "patch_emb": lin(next(keys), pd, d),
+        "pos_emb": (
+            jax.random.normal(next(keys), (1, config.num_patches, d)) * 0.02
+        ).astype(dtype),
+        "blocks": {
+            "ln1": ln(),
+            "attn": {
+                "qkv": stacked_lin(next(keys), d, 3 * d),
+                "proj": stacked_lin(next(keys), d, d),
+            },
+            "ln2": ln(),
+            "mlp": {
+                "fc1": stacked_lin(next(keys), d, ff),
+                "fc2": stacked_lin(next(keys), ff, d),
+            },
+        },
+        "post_ln": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "proj_mlp": {
+            "fc1": lin(next(keys), 2 * d, config.proj_inner_dim),
+            "fc2": lin(next(keys), config.proj_inner_dim, config.proj_out_dim),
+        },
+    }

@@ -1,0 +1,121 @@
+"""Primitive NN ops on jnp arrays.
+
+Functional equivalents of the reference primitives
+(/root/reference/moondream/torch/layers.py:24-166): tanh-GELU, linear,
+layer-norm, MLP, and bidirectional multi-head attention. Parameters are plain
+pytrees (dicts of jnp arrays). Weight layout convention is (in, out) —
+activations multiply as `x @ w` — i.e. the transpose of torch's nn.Linear;
+the checkpoint loader performs the transpose once at load time so the hot
+path never does.
+
+Numerics policy (TPU): parameters and activations are bfloat16; layer norm,
+softmax, and matmul accumulation run in float32 (MXU native), matching the
+effective precision of torch's bf16 F.layer_norm / SDPA closely enough for
+greedy-token parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def gelu_approx(x: jax.Array) -> jax.Array:
+    # Tanh-approximated GELU (reference layers.py:24-25).
+    return jax.nn.gelu(x, approximate=True)
+
+
+def linear(x: jax.Array, w: dict) -> jax.Array:
+    """y = x @ w['w'] + w['b'], accumulating in fp32 on the MXU."""
+    y = jnp.dot(x, w["w"], preferred_element_type=jnp.float32)
+    if w.get("b") is not None:
+        y = y + w["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def lora_linear(x: jax.Array, w: dict, lora: Optional[dict]) -> jax.Array:
+    """Linear with an optional low-rank residual: y += (x @ A^T) @ B^T.
+
+    LoRA checkpoints store A/B in torch (out, in) layout
+    (reference text.py:31-32), so both factors multiply transposed.
+    """
+    y = linear(x, w)
+    if lora is not None:
+        a = jnp.dot(x, lora["A"].T, preferred_element_type=jnp.float32)
+        y = y + jnp.dot(a, lora["B"].T, preferred_element_type=jnp.float32).astype(
+            y.dtype
+        )
+    return y
+
+
+def layer_norm(x: jax.Array, w: dict, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the trailing dim, fp32 statistics (layers.py:118-119)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * w["weight"].astype(jnp.float32) + w["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def mlp(x: jax.Array, w: dict, lora: Optional[dict] = None) -> jax.Array:
+    """fc1 -> tanh-GELU -> fc2, with optional per-layer LoRA adds
+    (reference layers.py:129-146)."""
+    if lora is not None:
+        x = lora_linear(x, w["fc1"], lora.get("fc1"))
+        x = gelu_approx(x)
+        x = lora_linear(x, w["fc2"], lora.get("fc2"))
+    else:
+        x = linear(x, w["fc1"])
+        x = gelu_approx(x)
+        x = linear(x, w["fc2"])
+    return x
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over (..., heads, seq, head_dim).
+
+    fp32 logits + softmax; the probability @ value matmul also accumulates in
+    fp32. GQA is expressed by the caller repeating K/V heads (XLA folds the
+    broadcast into the einsum). `mask` is boolean, True = attend.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim**0.5)
+    logits = jnp.einsum(
+        "...hqd,...hkd->...hqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "...hqk,...hkd->...hqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def attn(x: jax.Array, w: dict, n_heads: int) -> jax.Array:
+    """Bidirectional MHA with fused QKV, used by the ViT
+    (reference layers.py:155-166). x: (B, T, D)."""
+    bsz, seq, d_model = x.shape
+    head_dim = d_model // n_heads
+
+    qkv = linear(x, w["qkv"])  # (B, T, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    out = sdpa(q, k, v)
+    out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, d_model)
+    return linear(out, w["proj"])

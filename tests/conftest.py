@@ -1,0 +1,37 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+The container's sitecustomize registers the axon TPU backend at interpreter
+start and pins JAX_PLATFORMS=axon, so env vars alone don't stick — we must
+flip the platform through jax.config after import. XLA_FLAGS must be set
+before the first backend instantiation. Real-TPU benchmarks live in bench.py,
+not the test suite.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Make the repo root importable when pytest is invoked from elsewhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def add_reference_to_path():
+    """Allow tests to import the reference torch implementation as a golden
+    oracle (numerical comparison only — we never ship its code)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
