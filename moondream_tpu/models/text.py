@@ -1,0 +1,250 @@
+"""Phi-style text decoder (functional JAX).
+
+Behavioral parity with the reference decoder
+(/root/reference/moondream/torch/text.py:12-221):
+
+  * parallel attention + MLP residual sharing a single LayerNorm per block:
+    ``x = x + attn(ln(x)) + mlp(ln(x))`` (text.py:145-158)
+  * fused-QKV attention, GQA-capable (n_kv_heads <= n_heads), partial RoPE
+    (rot_dim = dim // (2*n_heads), non-interleaved half-split)
+  * bidirectional attention over the first `prefix_attn` (=730) positions
+    (1 BOS + 729 image tokens), causal after (text.py:106-110)
+  * LM head applies the final LayerNorm then projects to vocab; the decode
+    path evaluates only the last position (text.py:163-173)
+
+TPU-first design (not a port):
+  * Per-block weights are stacked on a leading layer axis; the block loop is
+    a `lax.scan` whose carry is the hidden state and whose per-layer inputs
+    are (block weights, KV slice, optional LoRA slice). One compiled block
+    body, O(1) compile time in depth.
+  * The KV cache is an explicit pytree of arrays shaped
+    (n_layers, batch, n_kv_heads, max_context, head_dim), threaded through
+    jitted calls and donated by the engine, replacing the reference's
+    in-place nn.Module buffer mutation (moondream.py:62-78).
+  * Cache writes are contiguous `dynamic_update_slice`s at the current
+    position (prefill writes a block, decode writes one slot).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..ops.layers import layer_norm, linear, lora_linear, mlp, sdpa
+from ..ops.rope import apply_rotary_emb
+
+
+class KVCache(NamedTuple):
+    """Per-model KV cache: arrays of shape (L, B, H_kv, T, Dh)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(
+        cls, config: TextConfig, batch: int = 1, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (
+            config.n_layers,
+            batch,
+            config.n_kv_heads,
+            config.max_context,
+            config.head_dim,
+        )
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def text_encoder(input_ids: jax.Array, w: dict) -> jax.Array:
+    """Token embedding lookup (reference text.py:12-13). (B, T) -> (B, T, D)."""
+    return w["wte"][input_ids]
+
+
+def _split_qkv(qkv: jax.Array, config: TextConfig) -> Tuple[jax.Array, ...]:
+    b, t, _ = qkv.shape
+    q_dim = config.n_heads * config.head_dim
+    kv_dim = config.n_kv_heads * config.head_dim
+    q = qkv[..., :q_dim].reshape(b, t, config.n_heads, config.head_dim)
+    k = qkv[..., q_dim : q_dim + kv_dim].reshape(
+        b, t, config.n_kv_heads, config.head_dim
+    )
+    v = qkv[..., q_dim + kv_dim :].reshape(b, t, config.n_kv_heads, config.head_dim)
+    # -> (B, H, T, Dh)
+    return (
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    )
+
+
+def attn_with_cache(
+    x: jax.Array,
+    w: dict,
+    freqs_cis: jax.Array,
+    kv: Tuple[jax.Array, jax.Array],
+    attn_mask: jax.Array,
+    pos: jax.Array,
+    config: TextConfig,
+    lora: Optional[dict],
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One attention layer reading/updating a persistent KV cache.
+
+    x: (B, T, D) pre-normed input; kv: (B, H_kv, max_ctx, Dh) pair;
+    attn_mask: bool (B or 1, 1, T, max_ctx); pos: scalar start position
+    (prefill and decode both write contiguous spans).
+    Reference semantics: text.py:16-60.
+    """
+    bsz, q_len, _ = x.shape
+    qkv = lora_linear(x, w["qkv"], lora.get("qkv") if lora else None)
+    q, k, v = _split_qkv(qkv, config)
+
+    position_ids = pos + jnp.arange(q_len, dtype=jnp.int32)
+    q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
+    k = apply_rotary_emb(k, freqs_cis, position_ids, config.rope_dim)
+
+    k_cache, v_cache = kv
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
+
+    k_full, v_full = k_cache, v_cache
+    if config.n_kv_heads != config.n_heads:
+        rep = config.n_heads // config.n_kv_heads
+        k_full = jnp.repeat(k_full, rep, axis=1)
+        v_full = jnp.repeat(v_full, rep, axis=1)
+
+    out = sdpa(q, k_full, v_full, attn_mask)
+    out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
+    out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
+    return out, (k_cache, v_cache)
+
+
+def attn_uncached(
+    x: jax.Array,
+    w: dict,
+    freqs_cis: jax.Array,
+    attn_mask: jax.Array,
+    config: TextConfig,
+) -> jax.Array:
+    """Cache-free attention for the training path (reference text.py:63-99).
+    Positions are 0..T-1."""
+    bsz, q_len, _ = x.shape
+    q, k, v = _split_qkv(linear(x, w["qkv"]), config)
+
+    position_ids = jnp.arange(q_len, dtype=jnp.int32)
+    q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
+    k = apply_rotary_emb(k, freqs_cis, position_ids, config.rope_dim)
+
+    if config.n_kv_heads != config.n_heads:
+        rep = config.n_heads // config.n_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    out = sdpa(q, k, v, attn_mask)
+    return linear(
+        out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim), w["proj"]
+    )
+
+
+def text_decoder(
+    x: jax.Array,
+    w: dict,
+    kv_cache: KVCache,
+    attn_mask: jax.Array,
+    pos: jax.Array,
+    config: TextConfig,
+    lora: Optional[dict] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run all blocks with KV-cache update; returns (hidden, new cache).
+
+    Reference semantics: text.py:128-160. The layer loop is a lax.scan over
+    stacked block weights and cache slices.
+    """
+
+    def block(carry, layer_in):
+        h = carry
+        bw, kv_l, lora_l = layer_in
+        ln_in = layer_norm(h, bw["ln"])
+        attn_out, new_kv = attn_with_cache(
+            ln_in, bw["attn"], w["freqs_cis"], kv_l, attn_mask, pos, config,
+            lora_l.get("attn") if lora_l else None,
+        )
+        mlp_out = mlp(ln_in, bw["mlp"], lora=lora_l.get("mlp") if lora_l else None)
+        return h + attn_out + mlp_out, new_kv
+
+    xs = (w["blocks"], (kv_cache.k, kv_cache.v), lora)
+    hidden, new_kv = jax.lax.scan(block, x, xs)
+    return hidden, KVCache(*new_kv)
+
+
+def prefix_attn_mask(q_len: int, prefix: int) -> jnp.ndarray:
+    """Training mask: bidirectional over the first `prefix` positions, causal
+    after (reference text.py:106-110). Shape (1, 1, q_len, q_len) bool."""
+    rows = jnp.arange(q_len)[:, None]
+    cols = jnp.arange(q_len)[None, :]
+    causal = cols <= rows
+    prefix_block = (rows < prefix) & (cols < prefix)
+    return (causal | prefix_block)[None, None]
+
+
+def produce_hidden(inputs_embeds: jax.Array, w: dict, config: TextConfig) -> jax.Array:
+    """Full-sequence cache-free forward for training (reference text.py:102-125)."""
+    q_len = inputs_embeds.shape[1]
+    mask = prefix_attn_mask(q_len, config.prefix_attn)
+
+    def block(h, bw):
+        ln_in = layer_norm(h, bw["ln"])
+        attn_out = attn_uncached(ln_in, bw["attn"], w["freqs_cis"], mask, config)
+        mlp_out = mlp(ln_in, bw["mlp"])
+        return h + attn_out + mlp_out, None
+
+    hidden, _ = jax.lax.scan(block, inputs_embeds, w["blocks"])
+    return hidden
+
+
+def lm_head(hidden_btc: jax.Array, w: dict) -> jax.Array:
+    """Logits for the last position only (reference text.py:163-167)."""
+    last = layer_norm(hidden_btc[:, -1, :], w["post_ln"])
+    return linear(last, w["lm_head"])
+
+
+def lm_head_full(hidden_btc: jax.Array, w: dict) -> jax.Array:
+    """Full-sequence logits for training (reference text.py:170-173)."""
+    return linear(layer_norm(hidden_btc, w["post_ln"]), w["lm_head"])
+
+
+def init_text_params(config: TextConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random-init parameter pytree (shapes matching build_text_model,
+    reference text.py:176-221, with (in, out) linears and stacked blocks)."""
+    from ..ops.rope import precompute_freqs_cis
+
+    d, ff, L, V = config.dim, config.ff_dim, config.n_layers, config.vocab_size
+    keys = iter(jax.random.split(key, 8))
+
+    def stacked_lin(k, i, o):
+        return {
+            "w": (jax.random.normal(k, (L, i, o)) * (i**-0.5)).astype(dtype),
+            "b": jnp.zeros((L, o), dtype),
+        }
+
+    return {
+        "wte": (jax.random.normal(next(keys), (V, d)) * 0.02).astype(dtype),
+        "blocks": {
+            "ln": {"weight": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
+            "attn": {
+                "qkv": stacked_lin(next(keys), d, config.qkv_dim),
+                "proj": stacked_lin(next(keys), d, d),
+            },
+            "mlp": {
+                "fc1": stacked_lin(next(keys), d, ff),
+                "fc2": stacked_lin(next(keys), ff, d),
+            },
+        },
+        "post_ln": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "lm_head": {
+            "w": (jax.random.normal(next(keys), (d, V)) * (d**-0.5)).astype(dtype),
+            "b": jnp.zeros((V,), dtype),
+        },
+        "freqs_cis": precompute_freqs_cis(config.rope_dim, config.max_context),
+    }
