@@ -207,8 +207,21 @@ MOONDREAM_05B = MoondreamConfig(
 
 def tiny_test_config(vocab_size: int = 512) -> MoondreamConfig:
     """A miniature config for CPU unit tests (keeps all structural invariants:
-    729-token image grid, 730 prefix, partial RoPE)."""
+    729-token image grid, 730 prefix, partial RoPE). Template word ids stay
+    below 256 so the offline ByteTokenizer (bytes at 256+) coexists with them
+    in a 512-token vocab."""
+    tiny_templates = {
+        "caption": {
+            "short": [1, 10, 2, 11, 3],
+            "normal": [1, 10, 2, 12, 3],
+            "long": [1, 10, 2, 13, 3],
+        },
+        "query": {"prefix": [1, 14, 2], "suffix": [3]},
+        "detect": {"prefix": [1, 15, 16, 2], "suffix": [3]},
+        "point": {"prefix": [1, 17, 2], "suffix": [3]},
+    }
     return MoondreamConfig(
+        tokenizer=TokenizerConfig(templates=tiny_templates),
         text=TextConfig(
             dim=64,
             ff_dim=128,

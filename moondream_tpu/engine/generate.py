@@ -1,0 +1,323 @@
+"""Generation engine: jitted prefill / decode-step / fused decode loops.
+
+This replaces the reference's per-token Python loop with `.item()` host syncs
+(/root/reference/moondream/torch/moondream.py:368-539) with device-resident
+`lax.while_loop`s: the KV cache, position, sampling state, and token buffer
+all live on device; one jit call produces the whole generation. A separate
+single-step path (`decode_step`) powers true incremental streaming.
+
+All functions are pure; `MoondreamModel` wraps them in jit with static
+configs and donated caches.
+
+Mask model
+----------
+The reference precomputes a (ctx, ctx) mask = causal OR bidirectional block
+over the first 730 positions (moondream.py:138-146) and slices rows from it.
+We build the same rows on the fly from (pos, prefix_len): row i (global
+position pos+i) may attend column j iff ``j <= pos+i`` or
+``pos+i < prefix and j < prefix``. ``prefix_len`` is a traced scalar: 0 for
+text-only sessions (pure causal, moondream.py:566-574), 730 after an image.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..models import region as region_ops
+from ..models import text as text_ops
+from ..models.text import KVCache
+from .sampling import sample_token
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _lm_logits(h: jax.Array, text_params: dict) -> jax.Array:
+    """Final LayerNorm + vocab projection on one hidden vector
+    (reference text.py:163-167). Computed with fp32 accumulation, rounded
+    through bf16 (matching the reference's bf16 lm_head output for greedy
+    token parity) and returned as fp32 for sampling.
+    """
+    from ..ops.layers import layer_norm
+
+    hn = layer_norm(h, text_params["post_ln"])
+    logits = jnp.dot(
+        hn, text_params["lm_head"]["w"], preferred_element_type=jnp.float32
+    )
+    b = text_params["lm_head"]["b"]
+    if b is not None:
+        logits = logits + b.astype(jnp.float32)
+    return logits.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def prefill_mask(
+    pos: jax.Array, q_len: int, max_ctx: int, prefix_len: jax.Array
+) -> jax.Array:
+    rows = pos + jnp.arange(q_len, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(max_ctx, dtype=jnp.int32)[None, :]
+    mask = cols <= rows
+    mask |= (rows < prefix_len) & (cols < prefix_len)
+    return mask[None, None]
+
+
+def decode_mask(pos: jax.Array, max_ctx: int) -> jax.Array:
+    cols = jnp.arange(max_ctx, dtype=jnp.int32)
+    return (cols <= pos)[None, None, None]
+
+
+def prefill(
+    text_params: dict,
+    kv: KVCache,
+    embeds: jax.Array,
+    pos: jax.Array,
+    length: jax.Array,
+    prefix_len: jax.Array,
+    config: TextConfig,
+    lora: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """Prefill a (possibly right-padded) span of embeddings.
+
+    embeds: (1, L_pad, D); `length` = real token count. Padding rows write
+    garbage K/V beyond pos+length; those slots are never attended before
+    being overwritten by subsequent writes (decode writes are contiguous).
+    Returns (last-real-position logits (V,), hidden (D,), new cache).
+    """
+    q_len = embeds.shape[1]
+    mask = prefill_mask(pos, q_len, config.max_context, prefix_len)
+    hidden, kv = text_ops.text_decoder(embeds, text_params, kv, mask, pos, config, lora)
+    h_last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=1, keepdims=False)[0]
+    return _lm_logits(h_last, text_params), h_last, kv
+
+
+def decode_step(
+    text_params: dict,
+    kv: KVCache,
+    emb: jax.Array,
+    pos: jax.Array,
+    config: TextConfig,
+    lora: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """One decode step. emb: (1, 1, D). Returns (logits (V,), hidden (D,), kv)."""
+    mask = decode_mask(pos, config.max_context)
+    hidden, kv = text_ops.text_decoder(emb, text_params, kv, mask, pos, config, lora)
+    h = hidden[0, 0]
+    return _lm_logits(h, text_params), h, kv
+
+
+def _suppress(logits: jax.Array, ids: Tuple[int, ...]) -> jax.Array:
+    for i in ids:
+        logits = logits.at[i].set(NEG_INF)
+    return logits
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array  # (buffer,) int32
+    count: jax.Array  # scalar int32 — number of valid tokens
+    kv: KVCache
+    pos: jax.Array
+
+
+def generate_text(
+    text_params: dict,
+    kv: KVCache,
+    first_token: jax.Array,
+    pos: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    max_tokens: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    buffer: int,
+    lora: Optional[dict] = None,
+) -> GenerateResult:
+    """Fused answer generation (reference loop: moondream.py:471-539).
+
+    Collects tokens until EOS / max_tokens / context end. The EOS token is
+    not emitted. `suppress_ids` are masked from every step's logits (the
+    answer id during answering, moondream.py:517).
+    """
+    tokens0 = jnp.zeros((buffer,), jnp.int32)
+    limit = jnp.minimum(max_tokens, jnp.int32(config.max_context) - pos)
+
+    def cond(c):
+        kv_, pos_, tok, i, rng_, toks = c
+        return (tok != eos_id) & (i < limit)
+
+    def body(c):
+        kv_, pos_, tok, i, rng_, toks = c
+        toks = toks.at[i].set(tok)
+        emb = text_params["wte"][tok][None, None, :]
+        logits, _, kv_ = decode_step(text_params, kv_, emb, pos_, config, lora)
+        logits = _suppress(logits, suppress_ids)
+        rng_, sub = jax.random.split(rng_)
+        nxt = sample_token(logits, sub, temperature, top_p).astype(jnp.int32)
+        return (kv_, pos_ + 1, nxt, i + 1, rng_, toks)
+
+    kv, pos, _, count, _, tokens = jax.lax.while_loop(
+        cond, body, (kv, pos, first_token, jnp.int32(0), rng, tokens0)
+    )
+    return GenerateResult(tokens=tokens, count=count, kv=kv, pos=pos)
+
+
+class ReasoningResult(NamedTuple):
+    tokens: jax.Array  # (buffer,) int32
+    is_coord: jax.Array  # (buffer,) bool — token i was a grounding coordinate
+    coord_vals: jax.Array  # (buffer,) f32 — decoded coordinate when is_coord
+    count: jax.Array
+    kv: KVCache
+    pos: jax.Array
+
+
+def generate_reasoning(
+    text_params: dict,
+    region_params: dict,
+    kv: KVCache,
+    first_token: jax.Array,
+    first_hidden: jax.Array,
+    pos: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    max_tokens: jax.Array,
+    config: TextConfig,
+    answer_id: int,
+    coord_id: int,
+    suppress_ids: Tuple[int, ...],
+    buffer: int,
+    lora: Optional[dict] = None,
+) -> ReasoningResult:
+    """Fused reasoning loop with inline grounding
+    (reference moondream.py:323-432): when the model emits `coord_id`, the
+    previous hidden state decodes to a coordinate whose embedding feeds the
+    next step instead of a token embedding; EOS for this phase is the answer
+    id; eos/size ids are suppressed every step (moondream.py:397-398)."""
+    tokens0 = jnp.zeros((buffer,), jnp.int32)
+    coords0 = jnp.zeros((buffer,), jnp.float32)
+    isco0 = jnp.zeros((buffer,), jnp.bool_)
+    limit = jnp.minimum(max_tokens, jnp.int32(config.max_context) - pos)
+    emb_dtype = text_params["wte"].dtype
+
+    def cond(c):
+        kv_, pos_, tok, hid, i, rng_, toks, cvals, isco = c
+        return (tok != answer_id) & (i < limit)
+
+    def body(c):
+        kv_, pos_, tok, hid, i, rng_, toks, cvals, isco = c
+        toks = toks.at[i].set(tok)
+
+        def coord_emb(_):
+            logits_c = region_ops.decode_coordinate(hid, region_params)
+            val = (
+                jnp.argmax(logits_c, axis=-1).astype(jnp.float32)
+                / logits_c.shape[-1]
+            )
+            emb = region_ops.encode_coordinate(
+                val[None].astype(emb_dtype), region_params
+            )
+            return emb, val
+
+        def tok_emb(_):
+            return text_params["wte"][tok].astype(emb_dtype), jnp.float32(0.0)
+
+        emb, cval = jax.lax.cond(tok == coord_id, coord_emb, tok_emb, None)
+        cvals = cvals.at[i].set(cval)
+        isco = isco.at[i].set(tok == coord_id)
+
+        logits, hid, kv_ = decode_step(
+            text_params, kv_, emb[None, None, :], pos_, config, lora
+        )
+        logits = _suppress(logits, suppress_ids)
+        rng_, sub = jax.random.split(rng_)
+        nxt = sample_token(logits, sub, temperature, top_p).astype(jnp.int32)
+        return (kv_, pos_ + 1, nxt, hid, i + 1, rng_, toks, cvals, isco)
+
+    kv, pos, _, _, count, _, tokens, coord_vals, is_coord = jax.lax.while_loop(
+        cond,
+        body,
+        (kv, pos, first_token, first_hidden, jnp.int32(0), rng, tokens0, coords0, isco0),
+    )
+    return ReasoningResult(
+        tokens=tokens, is_coord=is_coord, coord_vals=coord_vals,
+        count=count, kv=kv, pos=pos,
+    )
+
+
+class PointsResult(NamedTuple):
+    boxes: jax.Array  # (max_objects, 4) f32 — [x,y,0,0] rows when points-only
+    count: jax.Array
+    kv: KVCache
+    pos: jax.Array
+
+
+def generate_points(
+    text_params: dict,
+    region_params: dict,
+    kv: KVCache,
+    first_hidden: jax.Array,
+    first_token: jax.Array,
+    pos: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    include_size: bool,
+    max_objects: int,
+    lora: Optional[dict] = None,
+) -> PointsResult:
+    """Fused structured coordinate decode (reference moondream.py:653-733).
+
+    Per object: x from the current hidden; one step on enc(x) gives y;
+    with sizes, a further step decodes (w, h) log-bins; a final step on the
+    object's last embedding yields continue/EOS. All greedy (argmax).
+    """
+    boxes0 = jnp.zeros((max_objects, 4), jnp.float32)
+    emb_dtype = text_params["wte"].dtype
+
+    def step(kv_, emb, pos_):
+        return decode_step(text_params, kv_, emb[None, None, :], pos_, config, lora)
+
+    def cond(c):
+        kv_, pos_, hid, tok, n, boxes = c
+        return (tok != eos_id) & (n < max_objects) & (
+            pos_ < config.max_context - 4
+        )
+
+    def body(c):
+        kv_, pos_, hid, tok, n, boxes = c
+
+        x_logits = region_ops.decode_coordinate(hid, region_params)
+        x = jnp.argmax(x_logits, -1).astype(jnp.float32) / x_logits.shape[-1]
+        emb = region_ops.encode_coordinate(x[None].astype(emb_dtype), region_params)
+
+        _, hid, kv_ = step(kv_, emb, pos_)
+        pos_ = pos_ + 1
+        y_logits = region_ops.decode_coordinate(hid, region_params)
+        y = jnp.argmax(y_logits, -1).astype(jnp.float32) / y_logits.shape[-1]
+        emb = region_ops.encode_coordinate(y[None].astype(emb_dtype), region_params)
+
+        if include_size:
+            _, hid, kv_ = step(kv_, emb, pos_)
+            pos_ = pos_ + 1
+            size_logits = region_ops.decode_size(hid, region_params)
+            wh = region_ops.size_bin_to_value(jnp.argmax(size_logits, -1))
+            emb = region_ops.encode_size(wh.astype(emb_dtype), region_params)
+            row = jnp.stack(
+                [x - wh[0] / 2, y - wh[1] / 2, x + wh[0] / 2, y + wh[1] / 2]
+            )
+        else:
+            row = jnp.stack([x, y, jnp.float32(0), jnp.float32(0)])
+
+        boxes = boxes.at[n].set(row)
+
+        logits, hid, kv_ = step(kv_, emb, pos_)
+        pos_ = pos_ + 1
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return (kv_, pos_, hid, tok, n + 1, boxes)
+
+    kv, pos, _, _, count, boxes = jax.lax.while_loop(
+        cond, body, (kv, pos, first_hidden, first_token, jnp.int32(0), boxes0)
+    )
+    return PointsResult(boxes=boxes, count=count, kv=kv, pos=pos)

@@ -1,0 +1,49 @@
+"""On-device sampling: temperature + nucleus (top-p).
+
+Matches the reference's filtering semantics
+(/root/reference/moondream/torch/moondream.py:270-278): sort descending,
+keep tokens while the cumulative probability *before* each token is <= top_p,
+renormalize, sample. Sampling happens in sorted space (categorical over the
+filtered distribution, mapped back through the sort order) — equivalent to
+scatter + multinomial but cheaper on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_top_p_mask(probs_desc: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Filter an already-descending-sorted probability vector."""
+    csum = jnp.cumsum(probs_desc, axis=-1)
+    keep = (csum - probs_desc) <= top_p
+    filtered = jnp.where(keep, probs_desc, 0.0)
+    return filtered / jnp.sum(filtered, axis=-1, keepdims=True)
+
+
+def sample_token(
+    logits: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+) -> jax.Array:
+    """Sample one token id from (V,) logits.
+
+    temperature == 0 -> argmax (the greedy/parity path, reference
+    moondream.py:313-318); otherwise softmax(logits/T) -> top-p filter ->
+    categorical. All branches execute under jit; lax.select picks the result
+    so the compiled graph is branch-free.
+    """
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+
+    safe_t = jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(logits / safe_t, axis=-1)
+    order = jnp.argsort(-probs, axis=-1)
+    probs_desc = jnp.take_along_axis(probs, order, axis=-1)
+    filtered = apply_top_p_mask(probs_desc, top_p)
+    idx = jax.random.categorical(rng, jnp.log(jnp.maximum(filtered, 1e-30)), axis=-1)
+    sampled = jnp.take_along_axis(order, idx[..., None], axis=-1)[..., 0]
+
+    return jnp.where(temperature <= 0.0, greedy, sampled)

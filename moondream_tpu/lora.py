@@ -1,0 +1,123 @@
+"""LoRA "variant" adapters.
+
+Parity with the reference variant loader
+(/root/reference/moondream/torch/lora.py:11-79): adapters are downloaded from
+the Moondream API (or read from a local file), key-renamed from training
+checkpoint names, and applied as low-rank additions inside attention and MLP
+layers (text.py:31-58, layers.py:129-146).
+
+TPU-native difference: instead of a nested per-layer dict threaded through
+Python module calls, the adapter is converted to a *stacked* pytree
+(leading layer axis) so it rides the same `lax.scan` as the block weights —
+LoRA presence is a static compile-time flag, its values are traced inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def variant_cache_dir() -> Path:
+    hf_hub_cache = os.environ.get("HF_HUB_CACHE")
+    if hf_hub_cache is not None:
+        return Path(hf_hub_cache) / "md_variants"
+    hf_home = os.environ.get("HF_HOME")
+    if hf_home is not None:
+        return Path(hf_home) / "hub" / "md_variants"
+    return Path("~/.cache/huggingface/hub").expanduser() / "md_variants"
+
+
+def cached_variant_path(variant_id: str) -> Path:
+    """Local file path for a variant, downloading through the Moondream API
+    when absent (reference lora.py:23-40)."""
+    if os.path.exists(variant_id):
+        return Path(variant_id)
+
+    cache_dir = variant_cache_dir() / variant_id
+    os.makedirs(cache_dir, exist_ok=True)
+    dest = cache_dir / "final.pt"
+    if dest.exists():
+        return dest
+
+    from urllib.request import Request, urlopen
+
+    endpoint = os.getenv("MOONDREAM_ENDPOINT", "https://api.moondream.ai")
+    headers = {"User-Agent": "moondream-tpu"}
+    api_key = os.getenv("MOONDREAM_API_KEY")
+    if api_key is not None:
+        headers["X-Moondream-Auth"] = api_key
+
+    req = Request(f"{endpoint}/v1/variants/{variant_id}/download", headers=headers)
+    with urlopen(req) as r, open(dest, "wb") as f:
+        shutil.copyfileobj(r, f)
+    return dest
+
+
+_RENAME_RULES = [
+    ("text_model.transformer.h", "text.blocks"),
+    (".mixer", ".attn"),
+    (".out_proj", ".proj"),
+    (".Wqkv", ".qkv"),
+    (".parametrizations.weight.0", ""),
+]
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    t = t.detach().cpu()
+    if str(t.dtype) == "torch.bfloat16":
+        t = t.float()
+    return t.numpy()
+
+
+@functools.lru_cache(maxsize=5)
+def variant_state_dict(
+    variant_id: Optional[str] = None, n_layers: int = 24, dtype_str: str = "bfloat16"
+):
+    """Load a variant and return the stacked LoRA pytree:
+    {"attn": {"qkv"/"proj": {"A": (L,r,in), "B": (L,out,r)}},
+     "mlp": {"fc1"/"fc2": {...}}}  (torch (out,in)-layout factors, consumed
+    transposed by ops.layers.lora_linear)."""
+    if variant_id is None:
+        return None
+
+    import torch
+
+    state = torch.load(
+        cached_variant_path(variant_id), map_location="cpu", weights_only=True
+    )
+
+    flat = {}
+    for key, tensor in state.items():
+        for old, new in _RENAME_RULES:
+            key = key.replace(old, new)
+        flat[key] = _to_numpy(tensor)
+
+    dtype = jnp.dtype(dtype_str)
+
+    def stacked(site: str, factor: str):
+        return jnp.asarray(
+            np.stack(
+                [flat[f"text.blocks.{i}.{site}.{factor}"] for i in range(n_layers)]
+            ),
+            dtype=dtype,
+        )
+
+    return {
+        "attn": {
+            "qkv": {"A": stacked("attn.qkv", "A"), "B": stacked("attn.qkv", "B")},
+            "proj": {"A": stacked("attn.proj", "A"), "B": stacked("attn.proj", "B")},
+        },
+        "mlp": {
+            "fc1": {"A": stacked("mlp.fc1", "A"), "B": stacked("mlp.fc1", "B")},
+            "fc2": {"A": stacked("mlp.fc2", "A"), "B": stacked("mlp.fc2", "B")},
+        },
+    }

@@ -1,0 +1,723 @@
+"""MoondreamModel: the public inference API.
+
+Capability parity with the reference orchestrator
+(/root/reference/moondream/torch/moondream.py:81-973): `encode_image`,
+`caption`, `query` (with reasoning + grounding and spatial refs), `detect`,
+`point`, `detect_gaze`, LoRA variants, streaming, and both tokenizer/template
+schemes.
+
+TPU-native architecture (not a port):
+  * Parameters are immutable pytrees; the KV cache is an explicit value
+    threaded through jitted calls with buffer donation — no module state.
+  * All hot paths are jitted once per static shape: the ViT runs over
+    bucketed crop batches, prompt prefills pad to small length buckets, and
+    whole generations run as single fused `lax.while_loop` device calls
+    (stream=False) or a jitted step loop (stream=True).
+  * `EncodedImage` stores the 730-position KV snapshot as arrays; "loading"
+    it materializes a fresh working cache (reference mutates module buffers,
+    moondream.py:620-623).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Literal, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MoondreamConfig
+from ..engine import generate as engine
+from ..engine.sampling import sample_token
+from ..ops.image_crops import overlap_crop_image, reconstruct_from_crops
+from ..tokenizer import TokenizerBase, load_tokenizer
+from ..utils.points import remove_outlier_points
+from ..utils.streaming import TokenStreamer, stream_text
+from . import region as region_ops
+from . import text as text_ops
+from . import vision as vision_ops
+from .text import KVCache
+
+DEFAULT_MAX_TOKENS = 768
+DEFAULT_TEMPERATURE = 0.5
+DEFAULT_TOP_P = 0.3
+DEFAULT_MAX_OBJECTS = 50
+
+# Crop-count buckets for the ViT batch (1 global + up to 12 local crops).
+CROP_BUCKETS = (2, 5, 9, 13)
+# Prompt prefills pad to multiples of this.
+PROMPT_PAD = 8
+
+
+@dataclass(frozen=True)
+class EncodedImage:
+    """KV snapshot after prefilling [BOS, image] (reference moondream.py:56-59)."""
+
+    pos: int
+    k: jax.Array  # (L, 1, H_kv, pos, Dh)
+    v: jax.Array
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _bucket(n: int, buckets=CROP_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class MoondreamModel:
+    def __init__(
+        self,
+        config: MoondreamConfig,
+        params: Optional[dict] = None,
+        tokenizer: Optional[TokenizerBase] = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.dtype = dtype
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            kv_, kt_, kr_ = jax.random.split(key, 3)
+            params = {
+                "vision": vision_ops.init_vision_params(config.vision, kv_, dtype),
+                "text": text_ops.init_text_params(config.text, kt_, dtype),
+                "region": region_ops.init_region_params(config.region, kr_, dtype),
+            }
+        self.params = params
+        self.tokenizer = tokenizer if tokenizer is not None else load_tokenizer()
+        self._rng_counter = seed
+        self._jits: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ rng
+    def _next_rng(self) -> jax.Array:
+        self._rng_counter += 1
+        return jax.random.PRNGKey(self._rng_counter)
+
+    # ------------------------------------------------------------- jit cache
+    def _jit(self, key, build):
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = build()
+            self._jits[key] = fn
+        return fn
+
+    def _vis_enc_fn(self):
+        cfg = self.config.vision
+        dtype = self.dtype
+
+        def run(crops_u8):
+            x = crops_u8.astype(dtype) / 255.0
+            x = (x - 0.5) / 0.5
+            return vision_ops.vision_encoder(x, self.params["vision"], cfg)
+
+        return self._jit("vis_enc", lambda: jax.jit(run))
+
+    def _stitch_proj_fn(self, tiling: Tuple[int, int]):
+        cfg = self.config.vision
+        g = cfg.grid_size
+
+        def build():
+            def run(global_feats, local_feats):
+                local = local_feats.reshape(-1, g, g, cfg.enc_dim)
+                recon = reconstruct_from_crops(
+                    local, tiling, overlap_margin=cfg.overlap_margin, patch_size=1
+                )
+                return vision_ops.vision_projection(
+                    global_feats, recon, self.params["vision"], cfg
+                )
+
+            return jax.jit(run)
+
+        return self._jit(("stitch", tiling), build)
+
+    def _prefill_fn(self):
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(engine.prefill, config=cfg), donate_argnums=(1,)
+            )
+
+        return self._jit("prefill", build)
+
+    def _decode_fn(self):
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(engine.decode_step, config=cfg), donate_argnums=(1,)
+            )
+
+        return self._jit("decode", build)
+
+    def _generate_fn(self, eos_id: int, suppress: Tuple[int, ...], buffer: int):
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(
+                    engine.generate_text,
+                    config=cfg,
+                    eos_id=eos_id,
+                    suppress_ids=suppress,
+                    buffer=buffer,
+                ),
+                donate_argnums=(1,),
+            )
+
+        return self._jit(("gen", eos_id, suppress, buffer), build)
+
+    def _reasoning_fn(self, suppress: Tuple[int, ...], buffer: int):
+        cfg = self.config.text
+        tok = self.config.tokenizer
+
+        def build():
+            return jax.jit(
+                partial(
+                    engine.generate_reasoning,
+                    config=cfg,
+                    answer_id=tok.answer_id,
+                    coord_id=tok.coord_id,
+                    suppress_ids=suppress,
+                    buffer=buffer,
+                ),
+                donate_argnums=(2,),
+            )
+
+        return self._jit(("reason", suppress, buffer), build)
+
+    def _points_fn(self, include_size: bool, max_objects: int):
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(
+                    engine.generate_points,
+                    config=cfg,
+                    eos_id=self.config.tokenizer.eos_id,
+                    include_size=include_size,
+                    max_objects=max_objects,
+                ),
+                donate_argnums=(2,),
+            )
+
+        return self._jit(("points", include_size, max_objects), build)
+
+    def _load_kv_fn(self):
+        cfg = self.config.text
+
+        def build():
+            def run(k_snap, v_snap):
+                kv = KVCache.create(cfg, batch=1, dtype=self.dtype)
+                k = jax.lax.dynamic_update_slice(kv.k, k_snap, (0, 0, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(kv.v, v_snap, (0, 0, 0, 0, 0))
+                return KVCache(k, v)
+
+            return jax.jit(run)
+
+        return self._jit("load_kv", build)
+
+    def _sample_fn(self):
+        return self._jit("sample", lambda: jax.jit(sample_token))
+
+    # ------------------------------------------------------------- tokenize
+    def _encode_text(self, text: str) -> List[int]:
+        return self.tokenizer.encode(text)
+
+    def _decode_tokens(self, ids) -> str:
+        return self.tokenizer.decode([int(i) for i in ids])
+
+    # --------------------------------------------------------------- vision
+    def _run_vision_encoder(self, image) -> jax.Array:
+        """PIL image -> (729, text_dim) projected image embedding
+        (reference moondream.py:206-228)."""
+        cfg = self.config.vision
+        np_image = np.asarray(image.convert("RGB"))
+        crops_out = overlap_crop_image(
+            np_image, overlap_margin=cfg.overlap_margin, max_crops=cfg.max_crops
+        )
+        crops = crops_out["crops"]
+        tiling = tuple(crops_out["tiling"])
+
+        n = crops.shape[0]
+        b = _bucket(n)
+        if b > n:
+            crops = np.concatenate(
+                [crops, np.zeros((b - n, *crops.shape[1:]), crops.dtype)], axis=0
+            )
+
+        feats = self._vis_enc_fn()(jnp.asarray(crops))
+        global_feats = feats[0]
+        local_feats = feats[1:n]
+        return self._stitch_proj_fn(tiling)(global_feats, local_feats)
+
+    def encode_image(
+        self, image, settings: Optional[Dict[str, Any]] = None
+    ) -> EncodedImage:
+        """Encode an image and prefill [BOS, image] through the text model
+        (reference moondream.py:230-268)."""
+        if isinstance(image, EncodedImage):
+            return image
+
+        lora = self._variant(settings)
+        img_emb = self._run_vision_encoder(image)
+        bos = self.config.tokenizer.bos_id
+        bos_emb = self.params["text"]["wte"][jnp.asarray([[bos]])]
+        embeds = jnp.concatenate([bos_emb, img_emb[None]], axis=1).astype(self.dtype)
+        seq = embeds.shape[1]
+
+        kv = KVCache.create(self.config.text, batch=1, dtype=self.dtype)
+        _, _, kv = self._prefill_fn()(
+            self.params["text"], kv, embeds,
+            jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
+        )
+        return EncodedImage(pos=seq, k=kv.k[:, :, :, :seq, :], v=kv.v[:, :, :, :seq, :])
+
+    def load_encoded_image(self, encoded: EncodedImage) -> KVCache:
+        """Materialize a fresh working KV cache from a snapshot
+        (functional analog of reference moondream.py:620-623)."""
+        return self._load_kv_fn()(encoded.k, encoded.v)
+
+    # ------------------------------------------------------------- prefill
+    def _variant(self, settings) -> Optional[dict]:
+        if settings is None or settings.get("variant") is None:
+            return None
+        from ..lora import variant_state_dict
+
+        return variant_state_dict(
+            settings["variant"],
+            n_layers=self.config.text.n_layers,
+            dtype_str=str(jnp.dtype(self.dtype)),
+        )
+
+    def _prefill_prompt(
+        self,
+        kv: KVCache,
+        prompt_tokens: List[int],
+        pos: int,
+        temperature: float,
+        top_p: float,
+        spatial_refs=None,
+        prefix_len: Optional[int] = None,
+        lora: Optional[dict] = None,
+    ):
+        """Embed + prefill a prompt, sample the first token
+        (reference moondream.py:280-321). Returns
+        (logits, hidden, next_token (device), new_pos, kv)."""
+        tok_cfg = self.config.tokenizer
+        ids = list(prompt_tokens)
+        length = len(ids)
+        pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        ids_padded = ids + [0] * (pad - length)
+
+        emb = self.params["text"]["wte"][jnp.asarray([ids_padded])].astype(self.dtype)
+
+        if spatial_refs:
+            encoded = region_ops.encode_spatial_refs(spatial_refs, self.params["region"])
+            coord_pos = [i for i, t in enumerate(ids) if t == tok_cfg.coord_id]
+            emb = emb.at[0, jnp.asarray(coord_pos)].set(
+                encoded["coords"].astype(self.dtype)
+            )
+            if encoded["sizes"] is not None:
+                size_pos = [i for i, t in enumerate(ids) if t == tok_cfg.size_id]
+                emb = emb.at[0, jnp.asarray(size_pos)].set(
+                    encoded["sizes"].astype(self.dtype)
+                )
+
+        if prefix_len is None:
+            prefix_len = self.config.text.prefix_attn
+
+        logits, hidden, kv = self._prefill_fn()(
+            self.params["text"], kv, emb,
+            jnp.int32(pos), jnp.int32(length), jnp.int32(prefix_len), lora=lora,
+        )
+        next_token = self._sample_fn()(
+            logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p)
+        ).astype(jnp.int32)
+        return logits, hidden, next_token, pos + length, kv
+
+    # ------------------------------------------------------------ generation
+    def _settings(self, settings) -> Tuple[int, float, float]:
+        s = settings or {}
+        return (
+            s.get("max_tokens", DEFAULT_MAX_TOKENS),
+            s.get("temperature", DEFAULT_TEMPERATURE),
+            s.get("top_p", DEFAULT_TOP_P),
+        )
+
+    def _generate_answer_tokens(
+        self, kv, next_token, pos, settings, eos_id=None, lora=None
+    ) -> List[int]:
+        """Fused-loop generation; returns the generated token ids."""
+        max_tokens, temperature, top_p = self._settings(settings)
+        eos = eos_id if eos_id is not None else self.config.tokenizer.eos_id
+        suppress = (self.config.tokenizer.answer_id,)
+        buffer = self.config.text.max_context
+
+        result = self._generate_fn(eos, suppress, buffer)(
+            self.params["text"], kv, next_token, jnp.int32(pos),
+            self._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
+            jnp.int32(max_tokens), lora=lora,
+        )
+        count = int(result.count)
+        return [int(t) for t in np.asarray(result.tokens[:count])]
+
+    def _stream_answer(self, kv, next_token, pos, settings, eos_id=None, lora=None):
+        """Incremental streaming generator (jitted step per token),
+        reference moondream.py:471-539."""
+        max_tokens, temperature, top_p = self._settings(settings)
+        eos = eos_id if eos_id is not None else self.config.tokenizer.eos_id
+        answer_id = self.config.tokenizer.answer_id
+        decode = self._decode_fn()
+        sample = self._sample_fn()
+        wte = self.params["text"]["wte"]
+        streamer = TokenStreamer(self._decode_tokens)
+        max_ctx = self.config.text.max_context
+
+        tok = int(next_token)
+        generated = 0
+        while tok != eos and generated < max_tokens and pos < max_ctx:
+            chunk = streamer.feed(tok)
+            if chunk:
+                yield chunk
+            emb = wte[jnp.asarray([[tok]])].astype(self.dtype)
+            logits, _, kv = decode(self.params["text"], kv, emb, jnp.int32(pos), lora=lora)
+            logits = logits.at[answer_id].set(engine.NEG_INF)
+            tok = int(
+                sample(logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p))
+            )
+            pos += 1
+            generated += 1
+        tail = streamer.finish()
+        if tail:
+            yield tail
+
+    # ---------------------------------------------------------------- query
+    def query(
+        self,
+        image=None,
+        question: str = None,
+        reasoning: bool = False,
+        spatial_refs=None,
+        stream: bool = False,
+        settings: Optional[Dict[str, Any]] = None,
+    ):
+        """VQA with optional chain-of-thought reasoning + grounding
+        (reference moondream.py:541-618)."""
+        templates = self.config.tokenizer.templates["query"]
+        if templates is None:
+            raise NotImplementedError("Model does not support querying.")
+        if question is None:
+            raise ValueError("question must be provided.")
+        if spatial_refs and image is None:
+            raise ValueError("spatial_refs can only be used with an image.")
+
+        tok_cfg = self.config.tokenizer
+        lora = self._variant(settings)
+
+        if image is not None:
+            enc = self.encode_image(image, settings)
+            kv = self.load_encoded_image(enc)
+            pos = enc.pos
+            prompt = list(templates["prefix"])
+            prefix_len = self.config.text.prefix_attn
+        else:
+            kv = KVCache.create(self.config.text, batch=1, dtype=self.dtype)
+            pos = 0
+            prompt = [tok_cfg.bos_id] + list(templates["prefix"])
+            prefix_len = 0  # pure causal (reference moondream.py:566-574)
+
+        spatial_toks: List[int] = []
+        if spatial_refs:
+            for ref in spatial_refs:
+                if len(ref) == 2:
+                    spatial_toks += [tok_cfg.coord_id, tok_cfg.coord_id]
+                else:
+                    spatial_toks += [tok_cfg.coord_id, tok_cfg.coord_id, tok_cfg.size_id]
+
+        prompt = prompt + spatial_toks + self._encode_text(question)
+
+        reasoning_dict = {}
+        if reasoning:
+            max_tokens, temperature, top_p = self._settings(settings)
+            r_prompt = prompt + list(templates["suffix"]) + [tok_cfg.thinking_id]
+            _, hidden, next_token, pos, kv = self._prefill_prompt(
+                kv, r_prompt, pos, temperature, top_p, spatial_refs,
+                prefix_len=prefix_len, lora=lora,
+            )
+            suppress = (tok_cfg.eos_id, tok_cfg.size_id)
+            buffer = self.config.text.max_context
+            res = self._reasoning_fn(suppress, buffer)(
+                self.params["text"], self.params["region"], kv,
+                next_token, hidden, jnp.int32(pos), self._next_rng(),
+                jnp.float32(temperature), jnp.float32(top_p),
+                jnp.int32(max_tokens), lora=lora,
+            )
+            kv, pos = res.kv, int(res.pos)
+            reasoning_dict = {
+                "reasoning": self._assemble_reasoning(
+                    np.asarray(res.tokens[: int(res.count)]),
+                    np.asarray(res.is_coord[: int(res.count)]),
+                    np.asarray(res.coord_vals[: int(res.count)]),
+                )
+            }
+            answer_prompt = list(templates["suffix"])
+        else:
+            answer_prompt = prompt + list(templates["suffix"])
+
+        max_tokens, temperature, top_p = self._settings(settings)
+        _, _, next_token, pos, kv = self._prefill_prompt(
+            kv, answer_prompt, pos, temperature, top_p,
+            spatial_refs if not reasoning else None,
+            prefix_len=prefix_len, lora=lora,
+        )
+
+        if stream:
+            return {
+                **reasoning_dict,
+                "answer": self._stream_answer(kv, next_token, pos, settings, lora=lora),
+            }
+        tokens = self._generate_answer_tokens(kv, next_token, pos, settings, lora=lora)
+        return {**reasoning_dict, "answer": "".join(stream_text(tokens, self._decode_tokens))}
+
+    def _assemble_reasoning(self, tokens, is_coord, coord_vals) -> dict:
+        """Host-side chunking of the reasoning stream into text + grounding
+        spans (reference moondream.py:360-432)."""
+        tok_cfg = self.config.tokenizer
+        text_chunks: List[List[int]] = [[]]
+        ground_chunks: List[List[float]] = [[]]
+        for t, c, v in zip(tokens, is_coord, coord_vals):
+            t = int(t)
+            if t in (tok_cfg.start_ground_points_id, tok_cfg.end_ground_id):
+                text_chunks.append([])
+                ground_chunks.append([])
+            text_chunks[-1].append(t)
+            if c:
+                ground_chunks[-1].append(float(v))
+
+        decoded = [self._decode_tokens(chunk) for chunk in text_chunks]
+        text = "".join(decoded)
+
+        grounding = []
+        start_idx = 0
+        for chunk_text, gchunk in zip(decoded, ground_chunks):
+            if len(gchunk) > 1:
+                pts = [
+                    (gchunk[i], gchunk[i + 1])
+                    for i in range(0, len(gchunk) - (len(gchunk) % 2), 2)
+                ]
+                grounding.append(
+                    {
+                        "start_idx": start_idx,
+                        "end_idx": start_idx + len(chunk_text),
+                        "points": pts,
+                    }
+                )
+            start_idx += len(chunk_text)
+        return {"text": text, "grounding": grounding}
+
+    # -------------------------------------------------------------- caption
+    def caption(
+        self,
+        image,
+        length: Literal["normal", "short", "long"] = "normal",
+        stream: bool = False,
+        settings: Optional[Dict[str, Any]] = None,
+    ):
+        """Reference moondream.py:625-651."""
+        templates = self.config.tokenizer.templates["caption"]
+        if templates is None:
+            raise NotImplementedError("Model does not support captioning.")
+        if length not in templates:
+            raise ValueError(f"Model does not support caption length '{length}'.")
+
+        lora = self._variant(settings)
+        enc = self.encode_image(image, settings)
+        kv = self.load_encoded_image(enc)
+
+        _, temperature, top_p = self._settings(settings)
+        _, _, next_token, pos, kv = self._prefill_prompt(
+            kv, list(templates[length]), enc.pos, temperature, top_p, lora=lora
+        )
+
+        if stream:
+            return {"caption": self._stream_answer(kv, next_token, pos, settings, lora=lora)}
+        tokens = self._generate_answer_tokens(kv, next_token, pos, settings, lora=lora)
+        return {"caption": "".join(stream_text(tokens, self._decode_tokens))}
+
+    # ------------------------------------------------------- detect / point
+    def _structured_decode(
+        self, image, object: str, template_key: str, include_size: bool, settings
+    ):
+        templates = self.config.tokenizer.templates[template_key]
+        if templates is None:
+            raise NotImplementedError(
+                f"Model does not support {template_key}."
+            )
+        lora = self._variant(settings)
+        enc = self.encode_image(image, settings)
+        kv = self.load_encoded_image(enc)
+
+        prompt = (
+            list(templates["prefix"])
+            + self._encode_text(" " + object)
+            + list(templates["suffix"])
+        )
+        _, hidden, next_token, pos, kv = self._prefill_prompt(
+            kv, prompt, enc.pos, temperature=0.0, top_p=0.0, lora=lora
+        )
+
+        max_objects = (
+            settings.get("max_objects", DEFAULT_MAX_OBJECTS)
+            if settings
+            else DEFAULT_MAX_OBJECTS
+        )
+        res = self._points_fn(include_size, max_objects)(
+            self.params["text"], self.params["region"], kv,
+            hidden, next_token, jnp.int32(pos), lora=lora,
+        )
+        boxes = np.asarray(res.boxes[: int(res.count)], dtype=np.float64)
+        return boxes
+
+    def detect(self, image, object: str, settings=None):
+        """Reference moondream.py:735-781."""
+        boxes = self._structured_decode(image, object, "detect", True, settings)
+        return {
+            "objects": [
+                {
+                    "x_min": float(b[0]),
+                    "y_min": float(b[1]),
+                    "x_max": float(b[2]),
+                    "y_max": float(b[3]),
+                }
+                for b in boxes
+            ]
+        }
+
+    def point(self, image, object: str, settings=None):
+        """Reference moondream.py:783-829."""
+        pts = self._structured_decode(image, object, "point", False, settings)
+        return {"points": [{"x": float(p[0]), "y": float(p[1])} for p in pts]}
+
+    # ----------------------------------------------------------------- gaze
+    def _detect_gaze(
+        self, encoded: EncodedImage, source: Tuple[float, float], force_detect=False
+    ):
+        """Reference moondream.py:831-882: the prompt is built in embedding
+        space — "\\n\\nPoint:" + coord embeds + " gaze\\n\\n"."""
+        wte = self.params["text"]["wte"]
+        before = wte[jnp.asarray([self._encode_text("\n\nPoint:")])]
+        after = wte[jnp.asarray([self._encode_text(" gaze\n\n")])]
+        x_emb = region_ops.encode_coordinate(
+            jnp.asarray([[[source[0]]]], dtype=self.dtype), self.params["region"]
+        )
+        y_emb = region_ops.encode_coordinate(
+            jnp.asarray([[[source[1]]]], dtype=self.dtype), self.params["region"]
+        )
+        embeds = jnp.concatenate(
+            [before, x_emb, y_emb, after], axis=1
+        ).astype(self.dtype)
+        length = embeds.shape[1]
+        pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        if pad > length:
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad - length), (0, 0)))
+
+        kv = self.load_encoded_image(encoded)
+        logits, hidden, kv = self._prefill_fn()(
+            self.params["text"], kv, embeds,
+            jnp.int32(encoded.pos), jnp.int32(length),
+            jnp.int32(self.config.text.prefix_attn),
+        )
+        pos = encoded.pos + length
+        next_token = jnp.argmax(logits, -1).astype(jnp.int32)
+        if force_detect:
+            next_token = jnp.int32(0)
+        if int(next_token) == self.config.tokenizer.eos_id:
+            return None
+
+        res = self._points_fn(False, 1)(
+            self.params["text"], self.params["region"], kv,
+            hidden, next_token, jnp.int32(pos),
+        )
+        if int(res.count) == 0:
+            return None
+        b = np.asarray(res.boxes[0])
+        return {"x": float(b[0]), "y": float(b[1])}
+
+    def detect_gaze(
+        self,
+        image,
+        eye: Optional[Tuple[float, float]] = None,
+        face: Optional[Dict[str, float]] = None,
+        unstable_settings: Dict[str, Any] = {},
+    ):
+        """Reference moondream.py:884-973."""
+        import random as pyrandom
+
+        force_detect = unstable_settings.get("force_detect", False)
+        prioritize_accuracy = unstable_settings.get("prioritize_accuracy", False)
+
+        if not prioritize_accuracy:
+            if eye is None:
+                raise ValueError("eye must be provided when prioritize_accuracy=False")
+            enc = self.encode_image(image)
+            return {"gaze": self._detect_gaze(enc, eye, force_detect=force_detect)}
+
+        if face is None:
+            raise ValueError("face must be provided when prioritize_accuracy=True")
+        if isinstance(image, EncodedImage) and "flip_enc_img" not in unstable_settings:
+            raise ValueError(
+                "image must be a PIL Image when prioritize_accuracy=True, "
+                "or flip_enc_img must be provided"
+            )
+
+        enc = self.encode_image(image)
+        if "flip_enc_img" in unstable_settings:
+            enc_flipped = unstable_settings["flip_enc_img"]
+        else:
+            from PIL import Image as PILImage
+
+            enc_flipped = self.encode_image(
+                image.transpose(method=PILImage.Transpose.FLIP_LEFT_RIGHT)
+            )
+
+        N = 10
+        detections = []
+        for _ in range(N):
+            g = self._detect_gaze(
+                enc,
+                (
+                    pyrandom.uniform(face["x_min"], face["x_max"]),
+                    pyrandom.uniform(face["y_min"], face["y_max"]),
+                ),
+                force_detect=force_detect,
+            )
+            if g is not None:
+                detections.append((g["x"], g["y"]))
+        for _ in range(N):
+            g = self._detect_gaze(
+                enc_flipped,
+                (
+                    1 - pyrandom.uniform(face["x_min"], face["x_max"]),
+                    pyrandom.uniform(face["y_min"], face["y_max"]),
+                ),
+                force_detect=force_detect,
+            )
+            if g is not None:
+                detections.append((1 - g["x"], g["y"]))
+
+        if len(detections) < N:
+            return {"gaze": None}
+
+        detections = remove_outlier_points(detections)
+        mean_x = sum(d[0] for d in detections) / len(detections)
+        mean_y = sum(d[1] for d in detections) / len(detections)
+        return {"gaze": {"x": mean_x, "y": mean_y}}
