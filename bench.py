@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness (real TPU).
+
+Measures the BASELINE.json north-star: images/sec/chip for 2B captioning
+(encode + decode) plus component timings, mirroring the reference harness's
+methodology (5 warmups, 10 timed runs — /root/reference/moondream/torch/
+sample.py:159-207). Weights are random-initialized on device: throughput is
+weight-value-independent (identical matmul shapes), and no checkpoint is
+reachable in this environment.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N|null, ...extras}
+Diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="2b", choices=["2b", "05b"])
+    parser.add_argument("--decode-tokens", type=int, default=128,
+                        help="decode length per image (typical caption length)")
+    parser.add_argument("--runs", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=3)
+    args = parser.parse_args()
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache: repeated bench runs skip the ~7 min
+    # XLA compile of the big scan loops.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
+    log(f"devices: {jax.devices()}")
+
+    from moondream_tpu.config import MOONDREAM_05B, MOONDREAM_2B
+    from moondream_tpu.models.moondream import MoondreamModel
+    from moondream_tpu.engine import generate as engine
+    from moondream_tpu.tokenizer import ByteTokenizer
+    from functools import partial
+
+    config = MOONDREAM_2B if args.config == "2b" else MOONDREAM_05B
+    log(f"building {args.config} model (random weights, bf16)...")
+    t0 = time.perf_counter()
+    model = MoondreamModel(config, tokenizer=ByteTokenizer(), seed=0)
+    jax.block_until_ready(model.params["text"]["wte"])
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    # Fixed high-res input -> full 12-crop tiling (the expensive path).
+    rng = np.random.default_rng(0)
+    from PIL import Image
+
+    image = Image.fromarray(
+        rng.integers(0, 255, size=(1080, 1440, 3), dtype=np.uint8)
+    )
+
+    # Fixed-length fused decode: eos_id=-1 never fires, so every run decodes
+    # exactly --decode-tokens tokens (timing must not depend on random logits).
+    gen_fixed = jax.jit(
+        partial(
+            engine.generate_text,
+            config=config.text,
+            eos_id=-1,
+            suppress_ids=(config.tokenizer.answer_id,),
+            buffer=config.text.max_context,
+        ),
+        donate_argnums=(1,),
+    )
+
+    def one_caption():
+        enc = model.encode_image(image)
+        kv = model.load_encoded_image(enc)
+        prompt = list(config.tokenizer.templates["caption"]["normal"])
+        _, _, next_tok, pos, kv = model._prefill_prompt(
+            kv, prompt, enc.pos, temperature=0.0, top_p=0.0
+        )
+        res = gen_fixed(
+            model.params["text"], kv, next_tok, jnp.int32(pos),
+            jax.random.PRNGKey(0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.int32(args.decode_tokens),
+        )
+        jax.block_until_ready(res.tokens)
+        return res
+
+    log("warmup/compile...")
+    t0 = time.perf_counter()
+    for i in range(args.warmup):
+        one_caption()
+        log(f"  warmup {i}: cumulative {time.perf_counter() - t0:.1f}s")
+
+    log("timing encode...")
+    encode_times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        enc = model.encode_image(image)
+        jax.block_until_ready(enc.k)
+        encode_times.append(time.perf_counter() - t0)
+
+    log("timing full captions (encode + prefill + decode)...")
+    caption_times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        one_caption()
+        caption_times.append(time.perf_counter() - t0)
+
+    log("timing decode loop alone...")
+    decode_times = []
+    enc = model.encode_image(image)
+    for _ in range(args.runs):
+        kv = model.load_encoded_image(enc)
+        prompt = list(config.tokenizer.templates["caption"]["normal"])
+        _, _, next_tok, pos, kv = model._prefill_prompt(
+            kv, prompt, enc.pos, temperature=0.0, top_p=0.0
+        )
+        jax.block_until_ready(next_tok)
+        t0 = time.perf_counter()
+        res = gen_fixed(
+            model.params["text"], kv, next_tok, jnp.int32(pos),
+            jax.random.PRNGKey(0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.int32(args.decode_tokens),
+        )
+        jax.block_until_ready(res.tokens)
+        decode_times.append(time.perf_counter() - t0)
+
+    encode_ms = 1000 * float(np.mean(encode_times))
+    p50_caption = float(np.percentile(caption_times, 50))
+    images_per_sec = 1.0 / float(np.mean(caption_times))
+    tokens_per_sec = args.decode_tokens / float(np.mean(decode_times))
+
+    log(f"encode: {encode_ms:.1f} ms (min {1000*min(encode_times):.1f})")
+    log(f"decode: {tokens_per_sec:.1f} tok/s")
+    log(f"caption p50: {p50_caption*1000:.1f} ms -> {images_per_sec:.3f} images/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"images_per_sec_per_chip_{args.config}_caption",
+                "value": round(images_per_sec, 4),
+                "unit": "images/sec",
+                "vs_baseline": None,
+                "encode_ms_mean": round(encode_ms, 2),
+                "decode_tokens_per_sec": round(tokens_per_sec, 2),
+                "p50_caption_latency_ms": round(p50_caption * 1000, 2),
+                "decode_tokens": args.decode_tokens,
+                "notes": "random weights; reference publishes no baseline numbers (BASELINE.md)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -113,10 +113,10 @@ class MoondreamModel:
         cfg = self.config.vision
         dtype = self.dtype
 
-        def run(crops_u8):
+        def run(vision_params, crops_u8):
             x = crops_u8.astype(dtype) / 255.0
             x = (x - 0.5) / 0.5
-            return vision_ops.vision_encoder(x, self.params["vision"], cfg)
+            return vision_ops.vision_encoder(x, vision_params, cfg)
 
         return self._jit("vis_enc", lambda: jax.jit(run))
 
@@ -125,13 +125,13 @@ class MoondreamModel:
         g = cfg.grid_size
 
         def build():
-            def run(global_feats, local_feats):
+            def run(vision_params, global_feats, local_feats):
                 local = local_feats.reshape(-1, g, g, cfg.enc_dim)
                 recon = reconstruct_from_crops(
                     local, tiling, overlap_margin=cfg.overlap_margin, patch_size=1
                 )
                 return vision_ops.vision_projection(
-                    global_feats, recon, self.params["vision"], cfg
+                    global_feats, recon, vision_params, cfg
                 )
 
             return jax.jit(run)
@@ -254,10 +254,12 @@ class MoondreamModel:
                 [crops, np.zeros((b - n, *crops.shape[1:]), crops.dtype)], axis=0
             )
 
-        feats = self._vis_enc_fn()(jnp.asarray(crops))
+        feats = self._vis_enc_fn()(self.params["vision"], jnp.asarray(crops))
         global_feats = feats[0]
         local_feats = feats[1:n]
-        return self._stitch_proj_fn(tiling)(global_feats, local_feats)
+        return self._stitch_proj_fn(tiling)(
+            self.params["vision"], global_feats, local_feats
+        )
 
     def encode_image(
         self, image, settings: Optional[Dict[str, Any]] = None

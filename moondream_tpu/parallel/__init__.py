@@ -1,0 +1,7 @@
+from .mesh import (  # noqa: F401
+    create_mesh,
+    default_mesh_axes,
+    param_shardings,
+    shard_params,
+    text_param_shardings,
+)

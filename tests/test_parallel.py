@@ -1,0 +1,107 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from moondream_tpu.config import MoondreamConfig, TextConfig
+from moondream_tpu.finetune.trainer import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    text_loss,
+)
+from moondream_tpu.models import text as text_ops
+from moondream_tpu.parallel import create_mesh, default_mesh_axes, text_param_shardings
+
+CFG = TextConfig(
+    dim=256, ff_dim=512, n_layers=2, vocab_size=512, max_context=256,
+    n_heads=8, n_kv_heads=8, prefix_attn=8,
+)
+
+
+def _batch(dp_batch, seq=32):
+    rng = np.random.default_rng(0)
+    return {
+        "inputs_embeds": (rng.standard_normal((dp_batch, seq, CFG.dim)) * 0.1).astype(
+            np.float32
+        ),
+        "labels": rng.integers(0, CFG.vocab_size, (dp_batch, seq)).astype(np.int32),
+        "label_mask": np.ones((dp_batch, seq), np.float32),
+    }
+
+
+def test_default_mesh_axes():
+    assert default_mesh_axes(8) == {"dp": 1, "tp": 8}
+    assert default_mesh_axes(16) == {"dp": 2, "tp": 8}
+    assert default_mesh_axes(6) == {"dp": 3, "tp": 2}
+    assert default_mesh_axes(1) == {"dp": 1, "tp": 1}
+
+
+def test_sharded_train_step_matches_single_device():
+    params = text_ops.init_text_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    optimizer = make_optimizer(lr=1e-3)
+    batch = _batch(4)
+
+    # single device
+    state1 = init_train_state(params, optimizer)
+    step1 = make_train_step(optimizer, CFG)
+    state1, loss1 = step1(state1, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    # dp=2 x tp=4 mesh
+    mesh = create_mesh({"dp": 2, "tp": 4})
+    shardings = text_param_shardings(mesh, MoondreamConfig(text=CFG))
+    params2 = jax.device_put(
+        text_ops.init_text_params(CFG, jax.random.PRNGKey(0), jnp.float32), shardings
+    )
+    state2 = init_train_state(params2, optimizer)
+    step2 = make_train_step(optimizer, CFG)
+    sharded_batch = {
+        "inputs_embeds": jax.device_put(
+            batch["inputs_embeds"], NamedSharding(mesh, P("dp", None, None))
+        ),
+        "labels": jax.device_put(batch["labels"], NamedSharding(mesh, P("dp", None))),
+        "label_mask": jax.device_put(
+            batch["label_mask"], NamedSharding(mesh, P("dp", None))
+        ),
+    }
+    with mesh:
+        state2, loss2 = step2(state2, sharded_batch)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # updated parameters agree
+    w1 = np.asarray(state1.params["blocks"]["attn"]["qkv"]["w"])
+    w2 = np.asarray(state2.params["blocks"]["attn"]["qkv"]["w"])
+    np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
+def test_graft_dryrun_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_text_loss_masking():
+    """Loss ignores masked positions."""
+    params = text_ops.init_text_params(CFG, jax.random.PRNGKey(1), jnp.float32)
+    batch = _batch(2, seq=16)
+    full = text_loss(
+        params, jnp.asarray(batch["inputs_embeds"]), jnp.asarray(batch["labels"]),
+        jnp.asarray(batch["label_mask"]), CFG,
+    )
+    assert np.isfinite(float(full))
+
+    # Masking everything but one span changes the loss
+    mask = np.zeros_like(batch["label_mask"])
+    mask[:, 4:8] = 1
+    partial_loss = text_loss(
+        params, jnp.asarray(batch["inputs_embeds"]), jnp.asarray(batch["labels"]),
+        jnp.asarray(mask), CFG,
+    )
+    assert np.isfinite(float(partial_loss))
+    assert abs(float(full) - float(partial_loss)) > 1e-6
