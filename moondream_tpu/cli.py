@@ -1,0 +1,168 @@
+"""CLI: demo of every capability + benchmark mode.
+
+Run: python -m moondream_tpu.cli --image x.jpg --prompt "..." --model ckpt.safetensors
+     python -m moondream_tpu.cli ... --benchmark
+
+Capability-parity with the reference CLI
+(/root/reference/moondream/torch/sample.py): captions (short/normal),
+query, reasoning query, detect (+box overlay), spatial-ref queries, point
+(+dot overlay), gaze detection, and a --benchmark mode reporting image-encode
+ms and decode tokens/sec (5 warmups, 10 timed runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image", "-i", type=str, required=True)
+    parser.add_argument("--prompt", "-p", type=str, required=True)
+    parser.add_argument("--model", "-m", type=str, default=None,
+                        help="checkpoint path (omit for random weights)")
+    parser.add_argument("--config", "-c", type=str, default=None)
+    parser.add_argument("--tokenizer", type=str, default=None)
+    parser.add_argument("--max-tokens", "-t", type=int, default=200)
+    parser.add_argument("--sampler", "-s", type=str, default="greedy")
+    parser.add_argument("--benchmark", "-b", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    from PIL import Image, ImageDraw
+
+    from .config import MoondreamConfig
+    from .models.moondream import MoondreamModel
+    from .tokenizer import load_tokenizer
+    from .weights import load_params
+
+    print(f"Devices: {jax.devices()}")
+
+    config = (
+        MoondreamConfig.from_json(args.config) if args.config else MoondreamConfig()
+    )
+    params = load_params(args.model, config) if args.model else None
+    model = MoondreamModel(
+        config, params=params, tokenizer=load_tokenizer(args.tokenizer)
+    )
+
+    if not os.path.exists(args.image):
+        raise FileNotFoundError(f"Image not found at {args.image}")
+    image = Image.open(args.image)
+
+    settings = {"max_tokens": args.max_tokens}
+    if args.sampler == "greedy":
+        settings["temperature"] = 0.0
+
+    if args.benchmark:
+        _benchmark(model, image, args.prompt, settings)
+        return
+
+    encoded_image = model.encode_image(image)
+
+    for length in ("short", "normal"):
+        print(f"Caption: {length}")
+        for t in model.caption(encoded_image, length, stream=True, settings=settings)[
+            "caption"
+        ]:
+            print(t, end="", flush=True)
+        print("\n")
+
+    print("Query:", args.prompt)
+    for t in model.query(encoded_image, args.prompt, stream=True, settings=settings)[
+        "answer"
+    ]:
+        print(t, end="", flush=True)
+    print("\n")
+
+    reasoning_prompt = "How many objects are in this image?"
+    print("Query (reasoning):", reasoning_prompt)
+    resp = model.query(
+        encoded_image, reasoning_prompt, reasoning=True, stream=True,
+        settings=settings,
+    )
+    print("Reasoning:", resp["reasoning"])
+    for t in resp["answer"]:
+        print(t, end="", flush=True)
+    print("\n")
+
+    obj = "object"
+    print(f"Detect: {obj}")
+    objs = model.detect(encoded_image, obj)["objects"]
+    print(f"Found {len(objs)}")
+    draw = ImageDraw.Draw(image)
+    for o in objs:
+        draw.rectangle(
+            [o["x_min"] * image.width, o["y_min"] * image.height,
+             o["x_max"] * image.width, o["y_max"] * image.height],
+            outline="red", width=2,
+        )
+    image.save("detect.jpg")
+
+    if objs:
+        print("Spatial query: What is this?")
+        for t in model.query(
+            encoded_image,
+            "What is this?",
+            spatial_refs=[
+                (objs[0]["x_min"], objs[0]["y_min"], objs[0]["x_max"], objs[0]["y_max"])
+            ],
+            stream=True,
+            settings=settings,
+        )["answer"]:
+            print(t, end="", flush=True)
+        print("\n")
+
+    print("Point: object")
+    points = model.point(encoded_image, "object")["points"]
+    print(f"Found {len(points)}")
+    for p in points:
+        x, y = p["x"] * image.width, p["y"] * image.height
+        draw.ellipse([x - 5, y - 5, x + 5, y + 5], fill="red")
+    image.save("point.jpg")
+
+    print("Gaze:", model.detect_gaze(encoded_image, (0.5, 0.5))["gaze"])
+
+
+def _benchmark(model, image, prompt, settings):
+    import jax
+
+    for _ in range(5):
+        encoded_image = model.encode_image(image)
+        for _ in model.query(encoded_image, prompt, stream=True, settings=settings)[
+            "answer"
+        ]:
+            pass
+
+    encode_times = []
+    query_speeds = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        encoded_image = model.encode_image(image)
+        jax.block_until_ready(encoded_image.k)
+        encode_times.append((time.perf_counter() - t0) * 1000)
+
+        tokens = []
+        t0 = time.perf_counter()
+        for t in model.query(encoded_image, prompt, stream=True, settings=settings)[
+            "answer"
+        ]:
+            tokens.append(t)
+        dt = time.perf_counter() - t0
+        query_speeds.append(len(tokens) / dt if dt > 0 else 0.0)
+
+    print("\nBenchmark Results (10 runs):")
+    print("Image Encoding Time (ms):")
+    print(f"  Mean: {sum(encode_times)/len(encode_times):.2f}")
+    print(f"  Min:  {min(encode_times):.2f}")
+    print(f"  Max:  {max(encode_times):.2f}")
+    print("\nQuery Speed (tokens/sec):")
+    print(f"  Mean: {sum(query_speeds)/len(query_speeds):.2f}")
+    print(f"  Min:  {min(query_speeds):.2f}")
+    print(f"  Max:  {max(query_speeds):.2f}")
+
+
+if __name__ == "__main__":
+    main()

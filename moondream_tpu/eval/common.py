@@ -1,0 +1,33 @@
+"""Shared eval-CLI plumbing: model construction from a checkpoint path
+(analog of reference eval_all.py:22-27) and a uniform argparse main."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def create_model(ckpt_path: str, config_json: str = None, tokenizer: str = None):
+    from ..config import MoondreamConfig
+    from ..models.moondream import MoondreamModel
+    from ..tokenizer import load_tokenizer
+    from ..weights import load_params
+
+    config = (
+        MoondreamConfig.from_json(config_json) if config_json else MoondreamConfig()
+    )
+    params = load_params(ckpt_path, config)
+    return MoondreamModel(config, params=params, tokenizer=load_tokenizer(tokenizer))
+
+
+def run_cli(eval_fn, format_fn):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--tokenizer", type=str, default=None)
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args()
+
+    model = create_model(args.model, args.config, args.tokenizer)
+    result = eval_fn(model, debug=args.debug)
+    format_fn(result)
+    return result

@@ -82,6 +82,40 @@ def region_coord_loss(
     return -jnp.mean(jnp.take_along_axis(logp, coord_labels[..., None], axis=-1))
 
 
+def region_loss(
+    region_params: dict,
+    hidden: jax.Array,
+    labels: jax.Array,
+    c_idx: jax.Array,
+    s_idx: jax.Array,
+) -> jax.Array:
+    """Grounding-head loss (reference finetune_region.py:38-64).
+
+    hidden: (1, T, D) from produce_hidden; labels: (4K,) interleaved
+    [x_bin, y_bin, w_bin, h_bin] per box; c_idx/s_idx: sequence positions of
+    the coordinate/size slots (the hidden state one position earlier
+    predicts each slot).
+    """
+    from ..models.region import decode_coordinate
+    from ..ops.layers import mlp
+
+    l_idx = jnp.arange(labels.shape[0])
+
+    c_hidden = hidden[:, c_idx - 1, :]
+    c_logits = decode_coordinate(c_hidden, region_params).reshape(-1, 1024)
+    c_labels = labels[(l_idx % 4) < 2]
+    c_logp = jax.nn.log_softmax(c_logits.astype(jnp.float32), axis=-1)
+    c_loss = -jnp.mean(jnp.take_along_axis(c_logp, c_labels[:, None], axis=-1))
+
+    s_hidden = hidden[:, s_idx - 1, :]
+    s_logits = mlp(s_hidden, region_params["size_decoder"]).reshape(-1, 1024)
+    s_labels = labels[(l_idx % 4) >= 2]
+    s_logp = jax.nn.log_softmax(s_logits.astype(jnp.float32), axis=-1)
+    s_loss = -jnp.mean(jnp.take_along_axis(s_logp, s_labels[:, None], axis=-1))
+
+    return c_loss + s_loss
+
+
 def size_to_bin(size: jax.Array) -> jax.Array:
     """bin = (log2(size) + 10) / 10 * 1023, clamped
     (reference finetune_region.py:193-201)."""
