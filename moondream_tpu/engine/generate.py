@@ -53,21 +53,6 @@ def _lm_logits(h: jax.Array, text_params: dict) -> jax.Array:
     return logits.astype(jnp.bfloat16).astype(jnp.float32)
 
 
-def prefill_mask(
-    pos: jax.Array, q_len: int, max_ctx: int, prefix_len: jax.Array
-) -> jax.Array:
-    rows = pos + jnp.arange(q_len, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(max_ctx, dtype=jnp.int32)[None, :]
-    mask = cols <= rows
-    mask |= (rows < prefix_len) & (cols < prefix_len)
-    return mask[None, None]
-
-
-def decode_mask(pos: jax.Array, max_ctx: int) -> jax.Array:
-    cols = jnp.arange(max_ctx, dtype=jnp.int32)
-    return (cols <= pos)[None, None, None]
-
-
 def prefill(
     text_params: dict,
     kv: KVCache,
@@ -77,17 +62,21 @@ def prefill(
     prefix_len: jax.Array,
     config: TextConfig,
     lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Prefill a (possibly right-padded) span of embeddings.
 
     embeds: (1, L_pad, D); `length` = real token count. Padding rows write
     garbage K/V beyond pos+length; those slots are never attended before
     being overwritten by subsequent writes (decode writes are contiguous).
-    Returns (last-real-position logits (V,), hidden (D,), new cache).
+    `kv_bound` (static): when the caller guarantees pos+L <= kv_bound,
+    attention reads only that prefix of the cache instead of all
+    max_context slots (3x less attention traffic for the 730-token image
+    prefill). Returns (last-real-position logits (V,), hidden (D,), cache).
     """
-    q_len = embeds.shape[1]
-    mask = prefill_mask(pos, q_len, config.max_context, prefix_len)
-    hidden, kv = text_ops.text_decoder(embeds, text_params, kv, mask, pos, config, lora)
+    hidden, kv = text_ops.text_decoder(
+        embeds, text_params, kv, pos, prefix_len, config, lora, kv_bound
+    )
     h_last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=1, keepdims=False)[0]
     return _lm_logits(h_last, text_params), h_last, kv
 
@@ -101,8 +90,9 @@ def decode_step(
     lora: Optional[dict] = None,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """One decode step. emb: (1, 1, D). Returns (logits (V,), hidden (D,), kv)."""
-    mask = decode_mask(pos, config.max_context)
-    hidden, kv = text_ops.text_decoder(emb, text_params, kv, mask, pos, config, lora)
+    hidden, kv = text_ops.text_decoder(
+        emb, text_params, kv, pos, jnp.int32(0), config, lora
+    )
     h = hidden[0, 0]
     return _lm_logits(h, text_params), h, kv
 

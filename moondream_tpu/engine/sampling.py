@@ -32,18 +32,23 @@ def sample_token(
 
     temperature == 0 -> argmax (the greedy/parity path, reference
     moondream.py:313-318); otherwise softmax(logits/T) -> top-p filter ->
-    categorical. All branches execute under jit; lax.select picks the result
-    so the compiled graph is branch-free.
+    categorical. Branches go through lax.cond so the greedy path never pays
+    for the vocab-size sort (a per-token cost that matters at 51200 vocab).
     """
     logits = logits.astype(jnp.float32)
-    greedy = jnp.argmax(logits, axis=-1)
 
-    safe_t = jnp.maximum(temperature, 1e-6)
-    probs = jax.nn.softmax(logits / safe_t, axis=-1)
-    order = jnp.argsort(-probs, axis=-1)
-    probs_desc = jnp.take_along_axis(probs, order, axis=-1)
-    filtered = apply_top_p_mask(probs_desc, top_p)
-    idx = jax.random.categorical(rng, jnp.log(jnp.maximum(filtered, 1e-30)), axis=-1)
-    sampled = jnp.take_along_axis(order, idx[..., None], axis=-1)[..., 0]
+    def greedy(_):
+        return jnp.argmax(logits, axis=-1)
 
-    return jnp.where(temperature <= 0.0, greedy, sampled)
+    def nucleus(_):
+        safe_t = jnp.maximum(temperature, 1e-6)
+        probs = jax.nn.softmax(logits / safe_t, axis=-1)
+        order = jnp.argsort(-probs, axis=-1)
+        probs_desc = jnp.take_along_axis(probs, order, axis=-1)
+        filtered = apply_top_p_mask(probs_desc, top_p)
+        idx = jax.random.categorical(
+            rng, jnp.log(jnp.maximum(filtered, 1e-30)), axis=-1
+        )
+        return jnp.take_along_axis(order, idx[..., None], axis=-1)[..., 0]
+
+    return jax.lax.cond(temperature <= 0.0, greedy, nucleus, None)

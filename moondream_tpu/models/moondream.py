@@ -138,15 +138,24 @@ class MoondreamModel:
 
         return self._jit(("stitch", tiling), build)
 
-    def _prefill_fn(self):
+    def _prefill_fn(self, kv_bound: Optional[int] = None):
         cfg = self.config.text
 
         def build():
             return jax.jit(
-                partial(engine.prefill, config=cfg), donate_argnums=(1,)
+                partial(engine.prefill, config=cfg, kv_bound=kv_bound),
+                donate_argnums=(1,),
             )
 
-        return self._jit("prefill", build)
+        return self._jit(("prefill", kv_bound), build)
+
+    def _kv_bound(self, end_pos: int) -> int:
+        """Static KV-span bound for a prefill ending at end_pos: rounded up
+        to 256 to bound jit-cache variants; None (full cache) past 3/4 of
+        the context."""
+        max_ctx = self.config.text.max_context
+        bound = _ceil_to(max(end_pos, 1), 256)
+        return bound if bound <= (3 * max_ctx) // 4 else None
 
     def _decode_fn(self):
         cfg = self.config.text
@@ -277,7 +286,7 @@ class MoondreamModel:
         seq = embeds.shape[1]
 
         kv = KVCache.create(self.config.text, batch=1, dtype=self.dtype)
-        _, _, kv = self._prefill_fn()(
+        _, _, kv = self._prefill_fn(self._kv_bound(seq))(
             self.params["text"], kv, embeds,
             jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
         )
@@ -337,7 +346,7 @@ class MoondreamModel:
         if prefix_len is None:
             prefix_len = self.config.text.prefix_attn
 
-        logits, hidden, kv = self._prefill_fn()(
+        logits, hidden, kv = self._prefill_fn(self._kv_bound(pos + pad))(
             self.params["text"], kv, emb,
             jnp.int32(pos), jnp.int32(length), jnp.int32(prefix_len), lora=lora,
         )
@@ -633,7 +642,7 @@ class MoondreamModel:
             embeds = jnp.pad(embeds, ((0, 0), (0, pad - length), (0, 0)))
 
         kv = self.load_encoded_image(encoded)
-        logits, hidden, kv = self._prefill_fn()(
+        logits, hidden, kv = self._prefill_fn(self._kv_bound(encoded.pos + pad))(
             self.params["text"], kv, embeds,
             jnp.int32(encoded.pos), jnp.int32(length),
             jnp.int32(self.config.text.prefix_attn),

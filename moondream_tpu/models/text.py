@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TextConfig
+from ..ops.attention import attention
 from ..ops.layers import layer_norm, linear, lora_linear, mlp, sdpa
 from ..ops.rope import apply_rotary_emb
 
@@ -84,17 +85,22 @@ def attn_with_cache(
     w: dict,
     freqs_cis: jax.Array,
     kv: Tuple[jax.Array, jax.Array],
-    attn_mask: jax.Array,
     pos: jax.Array,
+    prefix_len: jax.Array,
     config: TextConfig,
     lora: Optional[dict],
+    kv_bound: Optional[int] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One attention layer reading/updating a persistent KV cache.
 
-    x: (B, T, D) pre-normed input; kv: (B, H_kv, max_ctx, Dh) pair;
-    attn_mask: bool (B or 1, 1, T, max_ctx); pos: scalar start position
-    (prefill and decode both write contiguous spans).
-    Reference semantics: text.py:16-60.
+    x: (B, T, D) pre-normed input; kv: (B, H_kv, max_ctx, Dh) pair; pos:
+    scalar start position (prefill and decode both write contiguous spans);
+    prefix_len: bidirectional-prefix length (730 after an image, 0 for pure
+    causal) — masking follows the unified rule in ops.attention. `kv_bound`
+    (static) restricts attention to the first kv_bound cache slots — callers
+    that know pos+q_len <= kv_bound skip reading (and attending over) the
+    dead tail of the cache. Reference semantics: text.py:16-60 with the mask
+    of moondream.py:138-146.
     """
     bsz, q_len, _ = x.shape
     qkv = lora_linear(x, w["qkv"], lora.get("qkv") if lora else None)
@@ -109,12 +115,15 @@ def attn_with_cache(
     v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
 
     k_full, v_full = k_cache, v_cache
+    if kv_bound is not None:
+        k_full = k_full[:, :, :kv_bound]
+        v_full = v_full[:, :, :kv_bound]
     if config.n_kv_heads != config.n_heads:
         rep = config.n_heads // config.n_kv_heads
         k_full = jnp.repeat(k_full, rep, axis=1)
         v_full = jnp.repeat(v_full, rep, axis=1)
 
-    out = sdpa(q, k_full, v_full, attn_mask)
+    out = attention(q, k_full, v_full, pos, prefix_len)
     out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
     out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
     return out, (k_cache, v_cache)
@@ -151,10 +160,11 @@ def text_decoder(
     x: jax.Array,
     w: dict,
     kv_cache: KVCache,
-    attn_mask: jax.Array,
     pos: jax.Array,
+    prefix_len: jax.Array,
     config: TextConfig,
     lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run all blocks with KV-cache update; returns (hidden, new cache).
 
@@ -167,8 +177,8 @@ def text_decoder(
         bw, kv_l, lora_l = layer_in
         ln_in = layer_norm(h, bw["ln"])
         attn_out, new_kv = attn_with_cache(
-            ln_in, bw["attn"], w["freqs_cis"], kv_l, attn_mask, pos, config,
-            lora_l.get("attn") if lora_l else None,
+            ln_in, bw["attn"], w["freqs_cis"], kv_l, pos, prefix_len, config,
+            lora_l.get("attn") if lora_l else None, kv_bound,
         )
         mlp_out = mlp(ln_in, bw["mlp"], lora=lora_l.get("mlp") if lora_l else None)
         return h + attn_out + mlp_out, new_kv

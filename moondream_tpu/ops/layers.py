@@ -106,7 +106,11 @@ def sdpa(
 
 def attn(x: jax.Array, w: dict, n_heads: int) -> jax.Array:
     """Bidirectional MHA with fused QKV, used by the ViT
-    (reference layers.py:155-166). x: (B, T, D)."""
+    (reference layers.py:155-166). x: (B, T, D). Runs the fused Pallas
+    flash kernel on TPU (pos=0, prefix=T makes the unified mask rule fully
+    bidirectional); XLA sdpa elsewhere."""
+    from .attention import attention
+
     bsz, seq, d_model = x.shape
     head_dim = d_model // n_heads
 
@@ -116,6 +120,6 @@ def attn(x: jax.Array, w: dict, n_heads: int) -> jax.Array:
     k = k.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
 
-    out = sdpa(q, k, v)
+    out = attention(q, k, v, pos=0, prefix=seq)
     out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, d_model)
     return linear(out, w["proj"])

@@ -104,8 +104,7 @@ def test_prefill_and_decode_match_reference():
     # --- ours
     kv = jtext.KVCache.create(cfg, batch=1, dtype=jnp.float32)
     ours_hidden, kv = jtext.text_decoder(
-        jnp.asarray(x), params, kv,
-        jnp.asarray(full_mask[:, :, :prompt_len, :]), jnp.int32(0), cfg,
+        jnp.asarray(x), params, kv, jnp.int32(0), jnp.int32(0), cfg,
     )
     ours_logits = jtext.lm_head(ours_hidden, params)
 
@@ -131,8 +130,7 @@ def test_prefill_and_decode_match_reference():
         ref_logits = ref_lm_head(ref_hidden, model)
 
         ours_hidden, kv = jtext.text_decoder(
-            jnp.asarray(tok), params, kv, jnp.asarray(dec_mask),
-            jnp.int32(pos), cfg,
+            jnp.asarray(tok), params, kv, jnp.int32(pos), jnp.int32(0), cfg,
         )
         ours_logits = jtext.lm_head(ours_hidden, params)
 
@@ -175,8 +173,7 @@ def test_gqa_decode_matches_reference():
 
     kv = jtext.KVCache.create(cfg, batch=1, dtype=jnp.float32)
     ours_hidden, _ = jtext.text_decoder(
-        jnp.asarray(x), params, kv, jnp.asarray(full_mask[:, :, :6, :]),
-        jnp.int32(0), cfg,
+        jnp.asarray(x), params, kv, jnp.int32(0), jnp.int32(0), cfg,
     )
     np.testing.assert_allclose(
         np.asarray(ours_hidden), ref_hidden.detach().numpy(), atol=2e-4, rtol=1e-3
