@@ -1,0 +1,149 @@
+"""Lockstep batched inference engine.
+
+The reference is strictly batch-1 (`batch_answer` is a Python loop,
+hf_moondream.py:99-103; KV caches are allocated with batch 1,
+moondream.py:66). On TPU, single-request decode is weight-bandwidth-bound —
+every generated token re-reads all model weights from HBM — so batching B
+requests multiplies throughput nearly B-fold until the MXU saturates.
+
+This module batches *symmetric* requests (same prompt tokens, e.g. caption
+over N images) in lockstep: one shared position counter, per-request EOS
+tracking, one fused `lax.while_loop`. Identical-prompt batching is
+parity-exact with the single-request path (same positions, same mask).
+Asymmetric continuous batching (rolling admission, per-row positions) builds
+on the same cache layout later.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..models import text as text_ops
+from ..models.text import KVCache
+from .generate import NEG_INF
+from .sampling import apply_top_p_mask
+
+
+def lm_logits_batched(h: jax.Array, text_params: dict) -> jax.Array:
+    """(B, D) -> (B, V) fp32 logits (bf16-rounded, see generate._lm_logits)."""
+    from ..ops.layers import layer_norm
+
+    hn = layer_norm(h, text_params["post_ln"])
+    logits = jnp.dot(
+        hn, text_params["lm_head"]["w"], preferred_element_type=jnp.float32
+    )
+    b = text_params["lm_head"]["b"]
+    if b is not None:
+        logits = logits + b.astype(jnp.float32)
+    return logits.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def sample_tokens_batched(
+    logits: jax.Array, rng: jax.Array, temperature: jax.Array, top_p: jax.Array
+) -> jax.Array:
+    """Per-row sampling over (B, V) logits; same semantics as
+    sampling.sample_token."""
+
+    def greedy(_):
+        return jnp.argmax(logits, axis=-1)
+
+    def nucleus(_):
+        safe_t = jnp.maximum(temperature, 1e-6)
+        probs = jax.nn.softmax(logits / safe_t, axis=-1)
+        order = jnp.argsort(-probs, axis=-1)
+        probs_desc = jnp.take_along_axis(probs, order, axis=-1)
+        filtered = apply_top_p_mask(probs_desc, top_p)
+        idx = jax.random.categorical(
+            rng, jnp.log(jnp.maximum(filtered, 1e-30)), axis=-1
+        )
+        return jnp.take_along_axis(order, idx[:, None], axis=-1)[:, 0]
+
+    return jax.lax.cond(temperature <= 0.0, greedy, nucleus, None)
+
+
+def prefill_batched(
+    text_params: dict,
+    kv: KVCache,
+    embeds: jax.Array,
+    pos: jax.Array,
+    length: jax.Array,
+    prefix_len: jax.Array,
+    config: TextConfig,
+    lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """Batched prefill: embeds (B, L_pad, D), shared pos/length.
+    Returns ((B, V) logits, (B, D) hidden, cache)."""
+    hidden, kv = text_ops.text_decoder(
+        embeds, text_params, kv, pos, prefix_len, config, lora, kv_bound
+    )
+    h_last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=1, keepdims=False)
+    return lm_logits_batched(h_last, text_params), h_last, kv
+
+
+class BatchedGenerateResult(NamedTuple):
+    tokens: jax.Array  # (B, buffer) int32
+    counts: jax.Array  # (B,) int32 — valid tokens per row
+    kv: KVCache
+    pos: jax.Array
+
+
+def generate_text_batched(
+    text_params: dict,
+    kv: KVCache,
+    first_tokens: jax.Array,  # (B,)
+    pos: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    max_tokens: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    buffer: int,
+    lora: Optional[dict] = None,
+) -> BatchedGenerateResult:
+    """Lockstep batched fused generation: shared position, per-row EOS.
+
+    Rows that hit EOS keep stepping (their writes are masked and their K/V
+    garbage sits at positions only they would attend) until every row is
+    done or limits hit.
+    """
+    bsz = first_tokens.shape[0]
+    tokens0 = jnp.zeros((bsz, buffer), jnp.int32)
+    counts0 = jnp.zeros((bsz,), jnp.int32)
+    done0 = first_tokens == eos_id
+    limit = jnp.minimum(max_tokens, jnp.int32(config.max_context) - pos)
+
+    def cond(c):
+        kv_, pos_, toks_cur, done, i, rng_, toks, counts = c
+        return (~jnp.all(done)) & (i < limit)
+
+    def body(c):
+        kv_, pos_, toks_cur, done, i, rng_, toks, counts = c
+        toks = toks.at[:, i].set(jnp.where(done, 0, toks_cur))
+        counts = counts + (~done).astype(jnp.int32)
+
+        emb = text_params["wte"][toks_cur][:, None, :]
+        hidden, kv_ = text_ops.text_decoder(
+            emb, text_params, kv_, pos_, jnp.int32(0), config, lora
+        )
+        logits = lm_logits_batched(hidden[:, 0], text_params)
+        for s in suppress_ids:
+            logits = logits.at[:, s].set(NEG_INF)
+
+        rng_, sub = jax.random.split(rng_)
+        nxt = sample_tokens_batched(logits, sub, temperature, top_p).astype(jnp.int32)
+        done = done | (nxt == eos_id)
+        return (kv_, pos_ + 1, nxt, done, i + 1, rng_, toks, counts)
+
+    kv, pos, _, _, _, _, tokens, counts = jax.lax.while_loop(
+        cond,
+        body,
+        (kv, pos, first_tokens, done0, jnp.int32(0), rng, tokens0, counts0),
+    )
+    return BatchedGenerateResult(tokens=tokens, counts=counts, kv=kv, pos=pos)

@@ -237,6 +237,59 @@ class MoondreamModel:
     def _sample_fn(self):
         return self._jit("sample", lambda: jax.jit(sample_token))
 
+    def _prefill_batched_fn(self, kv_bound: Optional[int] = None):
+        from ..engine import batched
+
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(batched.prefill_batched, config=cfg, kv_bound=kv_bound),
+                donate_argnums=(1,),
+            )
+
+        return self._jit(("prefill_b", kv_bound), build)
+
+    def _generate_batched_fn(self, eos_id: int, suppress: Tuple[int, ...], buffer: int):
+        from ..engine import batched
+
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(
+                    batched.generate_text_batched,
+                    config=cfg,
+                    eos_id=eos_id,
+                    suppress_ids=suppress,
+                    buffer=buffer,
+                ),
+                donate_argnums=(1,),
+            )
+
+        return self._jit(("gen_b", eos_id, suppress, buffer), build)
+
+    def _sample_batched_fn(self):
+        from ..engine import batched
+
+        return self._jit(
+            "sample_b", lambda: jax.jit(batched.sample_tokens_batched)
+        )
+
+    def _load_kv_batched_fn(self, batch: int):
+        cfg = self.config.text
+
+        def build():
+            def run(k_snap, v_snap):
+                kv = KVCache.create(cfg, batch=batch, dtype=self.dtype)
+                k = jax.lax.dynamic_update_slice(kv.k, k_snap, (0, 0, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(kv.v, v_snap, (0, 0, 0, 0, 0))
+                return KVCache(k, v)
+
+            return jax.jit(run)
+
+        return self._jit(("load_kv_b", batch), build)
+
     # ------------------------------------------------------------- tokenize
     def _encode_text(self, text: str) -> List[int]:
         return self.tokenizer.encode(text)
@@ -617,6 +670,115 @@ class MoondreamModel:
         """Reference moondream.py:783-829."""
         pts = self._structured_decode(image, object, "point", False, settings)
         return {"points": [{"x": float(p[0]), "y": float(p[1])} for p in pts]}
+
+    # -------------------------------------------------------------- batching
+    def encode_images(self, images, settings=None) -> List[EncodedImage]:
+        """Batched image encode: one ViT call per crop-count group and ONE
+        batched [BOS, image] prefill for all images. New TPU-native
+        capability — the reference has no multi-image path (its
+        batch_answer loops, hf_moondream.py:99-103)."""
+        from ..engine import batched as batched_engine
+
+        lora = self._variant(settings)
+        img_embs = [self._run_vision_encoder(im) for im in images]
+
+        bos = self.config.tokenizer.bos_id
+        wte = self.params["text"]["wte"]
+        bos_emb = wte[jnp.asarray([bos])]
+        embeds = jnp.stack(
+            [jnp.concatenate([bos_emb, e], axis=0) for e in img_embs]
+        ).astype(self.dtype)
+        bsz, seq, _ = embeds.shape
+
+        kv = KVCache.create(self.config.text, batch=bsz, dtype=self.dtype)
+        _, _, kv = self._prefill_batched_fn(self._kv_bound(seq))(
+            self.params["text"], kv, embeds,
+            jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
+        )
+        return [
+            EncodedImage(
+                pos=seq,
+                k=kv.k[:, b : b + 1, :, :seq, :],
+                v=kv.v[:, b : b + 1, :, :seq, :],
+            )
+            for b in range(bsz)
+        ]
+
+    def caption_batch(
+        self,
+        images,
+        length: Literal["normal", "short", "long"] = "normal",
+        settings: Optional[Dict[str, Any]] = None,
+    ) -> List[str]:
+        """Lockstep batched captioning: identical prompts, shared position
+        counter, per-row EOS; one fused device loop for the whole batch."""
+        return self._symmetric_batch_generate(
+            images, list(self.config.tokenizer.templates["caption"][length]),
+            settings,
+        )
+
+    def query_batch(
+        self, images, question: str, settings: Optional[Dict[str, Any]] = None
+    ) -> List[str]:
+        """Batched VQA with ONE question across all images (symmetric
+        prompts decode in exact lockstep)."""
+        templates = self.config.tokenizer.templates["query"]
+        prompt = (
+            list(templates["prefix"])
+            + self._encode_text(question)
+            + list(templates["suffix"])
+        )
+        return self._symmetric_batch_generate(images, prompt, settings)
+
+    def _symmetric_batch_generate(self, images, prompt_tokens, settings) -> List[str]:
+        lora = self._variant(settings)
+        encs = [
+            im if isinstance(im, EncodedImage) else None for im in images
+        ]
+        to_encode = [im for im, e in zip(images, encs) if e is None]
+        if to_encode:
+            fresh = iter(self.encode_images(to_encode, settings))
+            encs = [e if e is not None else next(fresh) for e in encs]
+
+        bsz = len(encs)
+        pos = encs[0].pos
+        kv = self._load_kv_batched_fn(bsz)(
+            jnp.concatenate([e.k for e in encs], axis=1),
+            jnp.concatenate([e.v for e in encs], axis=1),
+        )
+
+        max_tokens, temperature, top_p = self._settings(settings)
+        ids = list(prompt_tokens)
+        length = len(ids)
+        pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        ids_padded = ids + [0] * (pad - length)
+        emb = jnp.broadcast_to(
+            self.params["text"]["wte"][jnp.asarray(ids_padded)][None],
+            (bsz, pad, self.config.text.dim),
+        ).astype(self.dtype)
+
+        logits, _, kv = self._prefill_batched_fn(self._kv_bound(pos + pad))(
+            self.params["text"], kv, emb,
+            jnp.int32(pos), jnp.int32(length),
+            jnp.int32(self.config.text.prefix_attn), lora=lora,
+        )
+        first = self._sample_batched_fn()(
+            logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p)
+        ).astype(jnp.int32)
+
+        suppress = (self.config.tokenizer.answer_id,)
+        buffer = self.config.text.max_context
+        res = self._generate_batched_fn(self.config.tokenizer.eos_id, suppress, buffer)(
+            self.params["text"], kv, first, jnp.int32(pos + length),
+            self._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
+            jnp.int32(max_tokens), lora=lora,
+        )
+        tokens = np.asarray(res.tokens)
+        counts = np.asarray(res.counts)
+        return [
+            "".join(stream_text(tokens[b, : counts[b]], self._decode_tokens))
+            for b in range(bsz)
+        ]
 
     # ----------------------------------------------------------------- gaze
     def _detect_gaze(
