@@ -63,6 +63,7 @@ def prefill(
     config: TextConfig,
     lora: Optional[dict] = None,
     kv_bound: Optional[int] = None,
+    steer: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Prefill a (possibly right-padded) span of embeddings.
 
@@ -72,10 +73,11 @@ def prefill(
     `kv_bound` (static): when the caller guarantees pos+L <= kv_bound,
     attention reads only that prefix of the cache instead of all
     max_context slots (3x less attention traffic for the 730-token image
-    prefill). Returns (last-real-position logits (V,), hidden (D,), cache).
+    prefill). `steer`: optional (L, D) pre-scaled control vectors (repeng).
+    Returns (last-real-position logits (V,), hidden (D,), cache).
     """
     hidden, kv = text_ops.text_decoder(
-        embeds, text_params, kv, pos, prefix_len, config, lora, kv_bound
+        embeds, text_params, kv, pos, prefix_len, config, lora, kv_bound, steer
     )
     h_last = jax.lax.dynamic_index_in_dim(hidden, length - 1, axis=1, keepdims=False)[0]
     return _lm_logits(h_last, text_params), h_last, kv
@@ -88,10 +90,11 @@ def decode_step(
     pos: jax.Array,
     config: TextConfig,
     lora: Optional[dict] = None,
+    steer: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """One decode step. emb: (1, 1, D). Returns (logits (V,), hidden (D,), kv)."""
     hidden, kv = text_ops.text_decoder(
-        emb, text_params, kv, pos, jnp.int32(0), config, lora
+        emb, text_params, kv, pos, jnp.int32(0), config, lora, None, steer
     )
     h = hidden[0, 0]
     return _lm_logits(h, text_params), h, kv
@@ -124,13 +127,14 @@ def generate_text(
     suppress_ids: Tuple[int, ...],
     buffer: int,
     lora: Optional[dict] = None,
+    steer: Optional[jax.Array] = None,
 ) -> GenerateResult:
     """Fused answer generation (reference loop: moondream.py:471-539).
 
     Collects tokens until EOS / max_tokens / context end. The EOS token is
     not emitted. `suppress_ids` are masked from every step's logits (the
-    answer id during answering, moondream.py:517).
-    """
+    answer id during answering, moondream.py:517). `steer`: optional (L, D)
+    pre-scaled control vectors added per layer (repeng)."""
     tokens0 = jnp.zeros((buffer,), jnp.int32)
     limit = jnp.minimum(max_tokens, jnp.int32(config.max_context) - pos)
 
@@ -142,7 +146,9 @@ def generate_text(
         kv_, pos_, tok, i, rng_, toks = c
         toks = toks.at[i].set(tok)
         emb = text_params["wte"][tok][None, None, :]
-        logits, _, kv_ = decode_step(text_params, kv_, emb, pos_, config, lora)
+        logits, _, kv_ = decode_step(
+            text_params, kv_, emb, pos_, config, lora, steer
+        )
         logits = _suppress(logits, suppress_ids)
         rng_, sub = jax.random.split(rng_)
         nxt = sample_token(logits, sub, temperature, top_p).astype(jnp.int32)

@@ -372,6 +372,7 @@ class MoondreamModel:
         spatial_refs=None,
         prefix_len: Optional[int] = None,
         lora: Optional[dict] = None,
+        steer: Optional[jax.Array] = None,
     ):
         """Embed + prefill a prompt, sample the first token
         (reference moondream.py:280-321). Returns
@@ -401,12 +402,26 @@ class MoondreamModel:
 
         logits, hidden, kv = self._prefill_fn(self._kv_bound(pos + pad))(
             self.params["text"], kv, emb,
-            jnp.int32(pos), jnp.int32(length), jnp.int32(prefix_len), lora=lora,
+            jnp.int32(pos), jnp.int32(length), jnp.int32(prefix_len),
+            lora=lora, steer=steer,
         )
         next_token = self._sample_fn()(
             logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p)
         ).astype(jnp.int32)
         return logits, hidden, next_token, pos + length, kv
+
+    def _steer_vectors(self, settings) -> Optional[jax.Array]:
+        """Extract pre-scaled control vectors from settings
+        (``settings={"steer": ControlVector | (L, D) array,
+        "steer_scale": float}``). See moondream_tpu.repeng."""
+        if settings is None or settings.get("steer") is None:
+            return None
+        steer = settings["steer"]
+        scale = settings.get("steer_scale", None)
+        if hasattr(steer, "scaled"):  # ControlVector
+            return steer.scaled(scale)
+        arr = jnp.asarray(steer)
+        return arr * (1.0 if scale is None else scale)
 
     # ------------------------------------------------------------ generation
     def _settings(self, settings) -> Tuple[int, float, float]:
@@ -418,7 +433,7 @@ class MoondreamModel:
         )
 
     def _generate_answer_tokens(
-        self, kv, next_token, pos, settings, eos_id=None, lora=None
+        self, kv, next_token, pos, settings, eos_id=None, lora=None, steer=None
     ) -> List[int]:
         """Fused-loop generation; returns the generated token ids."""
         max_tokens, temperature, top_p = self._settings(settings)
@@ -429,12 +444,14 @@ class MoondreamModel:
         result = self._generate_fn(eos, suppress, buffer)(
             self.params["text"], kv, next_token, jnp.int32(pos),
             self._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
-            jnp.int32(max_tokens), lora=lora,
+            jnp.int32(max_tokens), lora=lora, steer=steer,
         )
         count = int(result.count)
         return [int(t) for t in np.asarray(result.tokens[:count])]
 
-    def _stream_answer(self, kv, next_token, pos, settings, eos_id=None, lora=None):
+    def _stream_answer(
+        self, kv, next_token, pos, settings, eos_id=None, lora=None, steer=None
+    ):
         """Incremental streaming generator (jitted step per token),
         reference moondream.py:471-539."""
         max_tokens, temperature, top_p = self._settings(settings)
@@ -453,7 +470,9 @@ class MoondreamModel:
             if chunk:
                 yield chunk
             emb = wte[jnp.asarray([[tok]])].astype(self.dtype)
-            logits, _, kv = decode(self.params["text"], kv, emb, jnp.int32(pos), lora=lora)
+            logits, _, kv = decode(
+                self.params["text"], kv, emb, jnp.int32(pos), lora=lora, steer=steer
+            )
             logits = logits.at[answer_id].set(engine.NEG_INF)
             tok = int(
                 sample(logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p))
@@ -538,18 +557,23 @@ class MoondreamModel:
             answer_prompt = prompt + list(templates["suffix"])
 
         max_tokens, temperature, top_p = self._settings(settings)
+        steer = self._steer_vectors(settings)
         _, _, next_token, pos, kv = self._prefill_prompt(
             kv, answer_prompt, pos, temperature, top_p,
             spatial_refs if not reasoning else None,
-            prefix_len=prefix_len, lora=lora,
+            prefix_len=prefix_len, lora=lora, steer=steer,
         )
 
         if stream:
             return {
                 **reasoning_dict,
-                "answer": self._stream_answer(kv, next_token, pos, settings, lora=lora),
+                "answer": self._stream_answer(
+                    kv, next_token, pos, settings, lora=lora, steer=steer
+                ),
             }
-        tokens = self._generate_answer_tokens(kv, next_token, pos, settings, lora=lora)
+        tokens = self._generate_answer_tokens(
+            kv, next_token, pos, settings, lora=lora, steer=steer
+        )
         return {**reasoning_dict, "answer": "".join(stream_text(tokens, self._decode_tokens))}
 
     def _assemble_reasoning(self, tokens, is_coord, coord_vals) -> dict:
@@ -608,13 +632,19 @@ class MoondreamModel:
         kv = self.load_encoded_image(enc)
 
         _, temperature, top_p = self._settings(settings)
+        steer = self._steer_vectors(settings)
         _, _, next_token, pos, kv = self._prefill_prompt(
-            kv, list(templates[length]), enc.pos, temperature, top_p, lora=lora
+            kv, list(templates[length]), enc.pos, temperature, top_p,
+            lora=lora, steer=steer,
         )
 
         if stream:
-            return {"caption": self._stream_answer(kv, next_token, pos, settings, lora=lora)}
-        tokens = self._generate_answer_tokens(kv, next_token, pos, settings, lora=lora)
+            return {"caption": self._stream_answer(
+                kv, next_token, pos, settings, lora=lora, steer=steer
+            )}
+        tokens = self._generate_answer_tokens(
+            kv, next_token, pos, settings, lora=lora, steer=steer
+        )
         return {"caption": "".join(stream_text(tokens, self._decode_tokens))}
 
     # ------------------------------------------------------- detect / point

@@ -165,25 +165,34 @@ def text_decoder(
     config: TextConfig,
     lora: Optional[dict] = None,
     kv_bound: Optional[int] = None,
+    steer: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run all blocks with KV-cache update; returns (hidden, new cache).
 
     Reference semantics: text.py:128-160. The layer loop is a lax.scan over
     stacked block weights and cache slices.
+
+    `steer`: optional (n_layers, dim) array added to each block's residual
+    output — pre-scaled control vectors for representation engineering
+    (role of the reference's LayerWrapper in notebooks/RepEng.ipynb). Its
+    presence is a trace-time branch; passing None compiles the plain path.
     """
 
     def block(carry, layer_in):
         h = carry
-        bw, kv_l, lora_l = layer_in
+        bw, kv_l, lora_l, steer_l = layer_in
         ln_in = layer_norm(h, bw["ln"])
         attn_out, new_kv = attn_with_cache(
             ln_in, bw["attn"], w["freqs_cis"], kv_l, pos, prefix_len, config,
             lora_l.get("attn") if lora_l else None, kv_bound,
         )
         mlp_out = mlp(ln_in, bw["mlp"], lora=lora_l.get("mlp") if lora_l else None)
-        return h + attn_out + mlp_out, new_kv
+        h = h + attn_out + mlp_out
+        if steer_l is not None:
+            h = h + steer_l.astype(h.dtype)
+        return h, new_kv
 
-    xs = (w["blocks"], (kv_cache.k, kv_cache.v), lora)
+    xs = (w["blocks"], (kv_cache.k, kv_cache.v), lora, steer)
     hidden, new_kv = jax.lax.scan(block, x, xs)
     return hidden, KVCache(*new_kv)
 
@@ -211,6 +220,33 @@ def produce_hidden(inputs_embeds: jax.Array, w: dict, config: TextConfig) -> jax
 
     hidden, _ = jax.lax.scan(block, inputs_embeds, w["blocks"])
     return hidden
+
+
+def produce_hidden_layers(
+    inputs_embeds: jax.Array, w: dict, config: TextConfig
+) -> jax.Array:
+    """Full-sequence cache-free forward returning EVERY layer's residual
+    stream: (n_layers, B, T, D).
+
+    TPU-native hidden-state capture for representation engineering: instead
+    of hooking incremental decode (the reference notebook collects
+    output_hidden_states per generated token, notebooks/RepEng.ipynb cell 2),
+    generate first, then run ONE batched full-sequence forward — by
+    causality the hidden states at each position are identical, and the
+    capture is a single MXU-friendly pass with the per-layer states emitted
+    as `lax.scan` ys."""
+    q_len = inputs_embeds.shape[1]
+    mask = prefix_attn_mask(q_len, config.prefix_attn)
+
+    def block(h, bw):
+        ln_in = layer_norm(h, bw["ln"])
+        attn_out = attn_uncached(ln_in, bw["attn"], w["freqs_cis"], mask, config)
+        mlp_out = mlp(ln_in, bw["mlp"])
+        h = h + attn_out + mlp_out
+        return h, h
+
+    _, layers = jax.lax.scan(block, inputs_embeds, w["blocks"])
+    return layers
 
 
 def lm_head(hidden_btc: jax.Array, w: dict) -> jax.Array:
