@@ -11,6 +11,12 @@ Feature-plane stitching (`reconstruct_from_crops`) is reimplemented as a
 single vectorized gather so the whole stitch lowers to one XLA op per call
 instead of a Python loop of dynamic-update-slices; the per-tile interior
 selection semantics match image_crops.py:170-231.
+
+When the in-repo native library (native/preprocess.cpp) is built, the whole
+resize + tile-extraction pipeline runs in one multithreaded C++ call that is
+bit-exact with the PIL path — the same structure as the reference's
+pyvips-if-present-else-PIL switch (image_crops.py:124-150), but with the
+native half shipped in-repo. Set MOONDREAM_NO_NATIVE=1 to force PIL.
 """
 
 from __future__ import annotations
@@ -82,6 +88,13 @@ def overlap_crop_image(
 
     tiling = select_tiling(orig_h - both_margins, orig_w - both_margins, window_px, max_crops)
     n_rows, n_cols = tiling
+
+    if base_size[0] == base_size[1] and channels in (1, 3, 4):
+        from . import native
+
+        crops = native.overlap_crops(image, base_size[0], margin_px, tiling)
+        if crops is not None:
+            return {"crops": crops, "tiling": tiling}
 
     out = np.zeros(
         (n_rows * n_cols + 1, base_size[0], base_size[1], channels), dtype=np.uint8
