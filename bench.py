@@ -32,6 +32,8 @@ def main():
                         help="decode length per image (typical caption length)")
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--batch", type=int, default=8,
+                        help="batch size for the throughput (lockstep) config")
     args = parser.parse_args()
 
     import os
@@ -73,6 +75,11 @@ def main():
 
     # Fixed-length fused decode: eos_id=-1 never fires, so every run decodes
     # exactly --decode-tokens tokens (timing must not depend on random logits).
+    # decode sessions end by ~(730 image + prompt + decode_tokens); bound the
+    # KV reads to the 256-rounded bucket like the production decode path
+    kv_bound = min(
+        -(-(768 + args.decode_tokens + 64) // 256) * 256, config.text.max_context
+    )
     gen_fixed = jax.jit(
         partial(
             engine.generate_text,
@@ -80,6 +87,7 @@ def main():
             eos_id=-1,
             suppress_ids=(config.tokenizer.answer_id,),
             buffer=config.text.max_context,
+            kv_bound=kv_bound if kv_bound < config.text.max_context else None,
         ),
         donate_argnums=(1,),
     )
@@ -106,11 +114,13 @@ def main():
         log(f"  warmup {i}: cumulative {time.perf_counter() - t0:.1f}s")
 
     log("timing encode...")
+    # fetch one element to force full completion: block_until_ready alone
+    # has proven unreliable on the tunneled backend for some graphs
     encode_times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
         enc = model.encode_image(image)
-        jax.block_until_ready(enc.k)
+        jax.device_get(enc.k[0, 0, 0, 0, 0])
         encode_times.append(time.perf_counter() - t0)
 
     log("timing full captions (encode + prefill + decode)...")
@@ -148,13 +158,84 @@ def main():
     log(f"decode: {tokens_per_sec:.1f} tok/s")
     log(f"caption p50: {p50_caption*1000:.1f} ms -> {images_per_sec:.3f} images/s")
 
+    # ---- throughput config: lockstep batched captioning (the TPU-native
+    # serving path — weights stream once per decode step for the whole
+    # batch; the reference has no batched path at all, hf_moondream.py:99).
+    B = args.batch
+    from moondream_tpu.engine import batched as batched_engine
+    from moondream_tpu.models.text import KVCache
+
+    gen_b = jax.jit(
+        partial(
+            batched_engine.generate_text_batched,
+            config=config.text,
+            eos_id=-1,
+            suppress_ids=(config.tokenizer.answer_id,),
+            buffer=1024,
+            kv_bound=kv_bound if kv_bound < config.text.max_context else None,
+        ),
+        donate_argnums=(1,),
+    )
+
+    images_b = [
+        Image.fromarray(
+            rng.integers(0, 255, size=(1080, 1440, 3), dtype=np.uint8)
+        )
+        for _ in range(B)
+    ]
+
+    slots = kv_bound if kv_bound < config.text.max_context else None
+
+    def batched_caption():
+        encs = model.encode_images(images_b)
+        pos = encs[0].pos
+        kv = model._load_kv_batched_fn(B, slots)(
+            jnp.concatenate([e.k for e in encs], axis=1),
+            jnp.concatenate([e.v for e in encs], axis=1),
+        )
+        prompt = list(config.tokenizer.templates["caption"]["normal"])
+        pad = 8
+        ids = prompt + [0] * (pad - len(prompt) % pad if len(prompt) % pad else 0)
+        emb = jnp.broadcast_to(
+            model.params["text"]["wte"][jnp.asarray(ids)][None],
+            (B, len(ids), config.text.dim),
+        ).astype(model.dtype)
+        _, _, kv = model._prefill_batched_fn(model._kv_bound(pos + len(ids)))(
+            model.params["text"], kv, emb, jnp.int32(pos),
+            jnp.int32(len(prompt)), jnp.int32(config.text.prefix_attn),
+        )
+        res = gen_b(
+            model.params["text"], kv,
+            jnp.zeros((B,), jnp.int32) + 1, jnp.int32(pos + len(prompt)),
+            jax.random.PRNGKey(0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.int32(args.decode_tokens),
+        )
+        jax.block_until_ready(res.tokens)
+
+    log(f"warmup/compile batched (B={B})...")
+    for _ in range(2):
+        batched_caption()
+    log("timing batched captions...")
+    batched_times = []
+    for _ in range(max(3, args.runs // 2)):
+        t0 = time.perf_counter()
+        batched_caption()
+        batched_times.append(time.perf_counter() - t0)
+    batched_imgs_per_sec = B / float(np.mean(batched_times))
+    log(
+        f"batched B={B}: {np.mean(batched_times)*1000:.0f} ms/batch -> "
+        f"{batched_imgs_per_sec:.3f} images/s"
+    )
+
     print(
         json.dumps(
             {
                 "metric": f"images_per_sec_per_chip_{args.config}_caption",
-                "value": round(images_per_sec, 4),
+                "value": round(batched_imgs_per_sec, 4),
                 "unit": "images/sec",
                 "vs_baseline": None,
+                "batch": B,
+                "single_image_images_per_sec": round(images_per_sec, 4),
                 "encode_ms_mean": round(encode_ms, 2),
                 "decode_tokens_per_sec": round(tokens_per_sec, 2),
                 "p50_caption_latency_ms": round(p50_caption * 1000, 2),

@@ -106,6 +106,7 @@ def generate_text_batched(
     suppress_ids: Tuple[int, ...],
     buffer: int,
     lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
 ) -> BatchedGenerateResult:
     """Lockstep batched fused generation: shared position, per-row EOS.
 
@@ -118,6 +119,8 @@ def generate_text_batched(
     counts0 = jnp.zeros((bsz,), jnp.int32)
     done0 = first_tokens == eos_id
     limit = jnp.minimum(max_tokens, jnp.int32(config.max_context) - pos)
+    if kv_bound is not None:
+        limit = jnp.minimum(limit, jnp.int32(kv_bound) - pos)
 
     def cond(c):
         kv_, pos_, toks_cur, done, i, rng_, toks, counts = c
@@ -130,7 +133,7 @@ def generate_text_batched(
 
         emb = text_params["wte"][toks_cur][:, None, :]
         hidden, kv_ = text_ops.text_decoder(
-            emb, text_params, kv_, pos_, jnp.int32(0), config, lora
+            emb, text_params, kv_, pos_, jnp.int32(0), config, lora, kv_bound
         )
         logits = lm_logits_batched(hidden[:, 0], text_params)
         for s in suppress_ids:

@@ -91,10 +91,15 @@ def decode_step(
     config: TextConfig,
     lora: Optional[dict] = None,
     steer: Optional[jax.Array] = None,
+    kv_bound: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
-    """One decode step. emb: (1, 1, D). Returns (logits (V,), hidden (D,), kv)."""
+    """One decode step. emb: (1, 1, D). `kv_bound` (static) restricts
+    attention reads to the first kv_bound cache slots when the caller knows
+    the whole generation stays under it — at 2048-slot caches and ~900-token
+    sessions this halves the per-step KV traffic.
+    Returns (logits (V,), hidden (D,), kv)."""
     hidden, kv = text_ops.text_decoder(
-        emb, text_params, kv, pos, jnp.int32(0), config, lora, None, steer
+        emb, text_params, kv, pos, jnp.int32(0), config, lora, kv_bound, steer
     )
     h = hidden[0, 0]
     return _lm_logits(h, text_params), h, kv
@@ -128,15 +133,19 @@ def generate_text(
     buffer: int,
     lora: Optional[dict] = None,
     steer: Optional[jax.Array] = None,
+    kv_bound: Optional[int] = None,
 ) -> GenerateResult:
     """Fused answer generation (reference loop: moondream.py:471-539).
 
     Collects tokens until EOS / max_tokens / context end. The EOS token is
     not emitted. `suppress_ids` are masked from every step's logits (the
     answer id during answering, moondream.py:517). `steer`: optional (L, D)
-    pre-scaled control vectors added per layer (repeng)."""
+    pre-scaled control vectors added per layer (repeng). `kv_bound`
+    (static): cache-read bound covering pos + max_tokens."""
     tokens0 = jnp.zeros((buffer,), jnp.int32)
     limit = jnp.minimum(max_tokens, jnp.int32(config.max_context) - pos)
+    if kv_bound is not None:
+        limit = jnp.minimum(limit, jnp.int32(kv_bound) - pos)
 
     def cond(c):
         kv_, pos_, tok, i, rng_, toks = c
@@ -147,7 +156,7 @@ def generate_text(
         toks = toks.at[i].set(tok)
         emb = text_params["wte"][tok][None, None, :]
         logits, _, kv_ = decode_step(
-            text_params, kv_, emb, pos_, config, lora, steer
+            text_params, kv_, emb, pos_, config, lora, steer, kv_bound
         )
         logits = _suppress(logits, suppress_ids)
         rng_, sub = jax.random.split(rng_)
@@ -186,6 +195,7 @@ def generate_reasoning(
     suppress_ids: Tuple[int, ...],
     buffer: int,
     lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
 ) -> ReasoningResult:
     """Fused reasoning loop with inline grounding
     (reference moondream.py:323-432): when the model emits `coord_id`, the
@@ -196,6 +206,8 @@ def generate_reasoning(
     coords0 = jnp.zeros((buffer,), jnp.float32)
     isco0 = jnp.zeros((buffer,), jnp.bool_)
     limit = jnp.minimum(max_tokens, jnp.int32(config.max_context) - pos)
+    if kv_bound is not None:
+        limit = jnp.minimum(limit, jnp.int32(kv_bound) - pos)
     emb_dtype = text_params["wte"].dtype
 
     def cond(c):
@@ -225,7 +237,8 @@ def generate_reasoning(
         isco = isco.at[i].set(tok == coord_id)
 
         logits, hid, kv_ = decode_step(
-            text_params, kv_, emb[None, None, :], pos_, config, lora
+            text_params, kv_, emb[None, None, :], pos_, config, lora, None,
+            kv_bound,
         )
         logits = _suppress(logits, suppress_ids)
         rng_, sub = jax.random.split(rng_)
@@ -262,6 +275,7 @@ def generate_points(
     include_size: bool,
     max_objects: int,
     lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
 ) -> PointsResult:
     """Fused structured coordinate decode (reference moondream.py:653-733).
 
@@ -273,13 +287,16 @@ def generate_points(
     emb_dtype = text_params["wte"].dtype
 
     def step(kv_, emb, pos_):
-        return decode_step(text_params, kv_, emb[None, None, :], pos_, config, lora)
+        return decode_step(
+            text_params, kv_, emb[None, None, :], pos_, config, lora, None,
+            kv_bound,
+        )
+
+    pos_limit = config.max_context if kv_bound is None else kv_bound
 
     def cond(c):
         kv_, pos_, hid, tok, n, boxes = c
-        return (tok != eos_id) & (n < max_objects) & (
-            pos_ < config.max_context - 4
-        )
+        return (tok != eos_id) & (n < max_objects) & (pos_ < pos_limit - 4)
 
     def body(c):
         kv_, pos_, hid, tok, n, boxes = c

@@ -95,6 +95,12 @@ class MoondreamModel:
         self.tokenizer = tokenizer if tokenizer is not None else load_tokenizer()
         self._rng_counter = seed
         self._jits: Dict[Any, Any] = {}
+        # Recycled KV-cache buffers keyed by batch size. A fresh 2B cache is
+        # a 400MB zero-fill (~33ms); donating a finished generation's buffer
+        # back into the next load makes cache restore cost only the snapshot
+        # write. Stale tail slots are never attended before being
+        # overwritten (same invariant as prompt padding).
+        self._kv_pool: Dict[int, List[KVCache]] = {}
 
     # ------------------------------------------------------------------ rng
     def _next_rng(self) -> jax.Array:
@@ -157,17 +163,33 @@ class MoondreamModel:
         bound = _ceil_to(max(end_pos, 1), 256)
         return bound if bound <= (3 * max_ctx) // 4 else None
 
-    def _decode_fn(self):
+    def _decode_bound(self, end_pos: int) -> Optional[int]:
+        """Static KV-read bound for a decode session known to end by
+        end_pos: rounded up to 256 (bounding jit variants); None (full
+        cache) when within 256 of the context end. Typical captions
+        (~860 end) read a 1024-slot span instead of all 2048."""
+        max_ctx = self.config.text.max_context
+        bound = _ceil_to(min(end_pos, max_ctx), 256)
+        return None if bound >= max_ctx else bound
+
+    def _decode_fn(self, kv_bound: Optional[int] = None):
         cfg = self.config.text
 
         def build():
             return jax.jit(
-                partial(engine.decode_step, config=cfg), donate_argnums=(1,)
+                partial(engine.decode_step, config=cfg, kv_bound=kv_bound),
+                donate_argnums=(1,),
             )
 
-        return self._jit("decode", build)
+        return self._jit(("decode", kv_bound), build)
 
-    def _generate_fn(self, eos_id: int, suppress: Tuple[int, ...], buffer: int):
+    def _generate_fn(
+        self,
+        eos_id: int,
+        suppress: Tuple[int, ...],
+        buffer: int,
+        kv_bound: Optional[int] = None,
+    ):
         cfg = self.config.text
 
         def build():
@@ -178,13 +200,17 @@ class MoondreamModel:
                     eos_id=eos_id,
                     suppress_ids=suppress,
                     buffer=buffer,
+                    kv_bound=kv_bound,
                 ),
                 donate_argnums=(1,),
             )
 
-        return self._jit(("gen", eos_id, suppress, buffer), build)
+        return self._jit(("gen", eos_id, suppress, buffer, kv_bound), build)
 
-    def _reasoning_fn(self, suppress: Tuple[int, ...], buffer: int):
+    def _reasoning_fn(
+        self, suppress: Tuple[int, ...], buffer: int,
+        kv_bound: Optional[int] = None,
+    ):
         cfg = self.config.text
         tok = self.config.tokenizer
 
@@ -197,13 +223,17 @@ class MoondreamModel:
                     coord_id=tok.coord_id,
                     suppress_ids=suppress,
                     buffer=buffer,
+                    kv_bound=kv_bound,
                 ),
                 donate_argnums=(2,),
             )
 
-        return self._jit(("reason", suppress, buffer), build)
+        return self._jit(("reason", suppress, buffer, kv_bound), build)
 
-    def _points_fn(self, include_size: bool, max_objects: int):
+    def _points_fn(
+        self, include_size: bool, max_objects: int,
+        kv_bound: Optional[int] = None,
+    ):
         cfg = self.config.text
 
         def build():
@@ -214,25 +244,42 @@ class MoondreamModel:
                     eos_id=self.config.tokenizer.eos_id,
                     include_size=include_size,
                     max_objects=max_objects,
+                    kv_bound=kv_bound,
                 ),
                 donate_argnums=(2,),
             )
 
-        return self._jit(("points", include_size, max_objects), build)
+        return self._jit(("points", include_size, max_objects, kv_bound), build)
 
     def _load_kv_fn(self):
-        cfg = self.config.text
-
         def build():
-            def run(k_snap, v_snap):
-                kv = KVCache.create(cfg, batch=1, dtype=self.dtype)
-                k = jax.lax.dynamic_update_slice(kv.k, k_snap, (0, 0, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(kv.v, v_snap, (0, 0, 0, 0, 0))
+            def run(buf: KVCache, k_snap, v_snap):
+                k = jax.lax.dynamic_update_slice(buf.k, k_snap, (0, 0, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(buf.v, v_snap, (0, 0, 0, 0, 0))
                 return KVCache(k, v)
 
-            return jax.jit(run)
+            return jax.jit(run, donate_argnums=(0,))
 
         return self._jit("load_kv", build)
+
+    def _take_kv_buffer(self, batch: int = 1, slots: Optional[int] = None) -> KVCache:
+        key = (batch, slots or self.config.text.max_context)
+        pool = self._kv_pool.get(key)
+        if pool:
+            return pool.pop()
+        return KVCache.create(
+            self.config.text, batch=batch, dtype=self.dtype, slots=slots
+        )
+
+    def _recycle_kv(self, kv: Optional[KVCache], batch: int = 1) -> None:
+        """Return a finished generation's cache buffer to the pool. The
+        caller must drop its own references (the buffer will be donated)."""
+        if kv is None:
+            return
+        key = (batch, int(kv.k.shape[3]))
+        pool = self._kv_pool.setdefault(key, [])
+        if len(pool) < 2:
+            pool.append(kv)
 
     def _sample_fn(self):
         return self._jit("sample", lambda: jax.jit(sample_token))
@@ -250,7 +297,10 @@ class MoondreamModel:
 
         return self._jit(("prefill_b", kv_bound), build)
 
-    def _generate_batched_fn(self, eos_id: int, suppress: Tuple[int, ...], buffer: int):
+    def _generate_batched_fn(
+        self, eos_id: int, suppress: Tuple[int, ...], buffer: int,
+        kv_bound: Optional[int] = None,
+    ):
         from ..engine import batched
 
         cfg = self.config.text
@@ -263,11 +313,12 @@ class MoondreamModel:
                     eos_id=eos_id,
                     suppress_ids=suppress,
                     buffer=buffer,
+                    kv_bound=kv_bound,
                 ),
                 donate_argnums=(1,),
             )
 
-        return self._jit(("gen_b", eos_id, suppress, buffer), build)
+        return self._jit(("gen_b", eos_id, suppress, buffer, kv_bound), build)
 
     def _sample_batched_fn(self):
         from ..engine import batched
@@ -276,19 +327,19 @@ class MoondreamModel:
             "sample_b", lambda: jax.jit(batched.sample_tokens_batched)
         )
 
-    def _load_kv_batched_fn(self, batch: int):
-        cfg = self.config.text
-
+    def _load_kv_batched_fn(self, batch: int, slots: Optional[int] = None):
         def build():
-            def run(k_snap, v_snap):
-                kv = KVCache.create(cfg, batch=batch, dtype=self.dtype)
-                k = jax.lax.dynamic_update_slice(kv.k, k_snap, (0, 0, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(kv.v, v_snap, (0, 0, 0, 0, 0))
+            def run(buf: KVCache, k_snap, v_snap):
+                k = jax.lax.dynamic_update_slice(buf.k, k_snap, (0, 0, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(buf.v, v_snap, (0, 0, 0, 0, 0))
                 return KVCache(k, v)
 
-            return jax.jit(run)
+            return jax.jit(run, donate_argnums=(0,))
 
-        return self._jit(("load_kv_b", batch), build)
+        load = self._jit(("load_kv_b", batch, slots), build)
+        return lambda k_snap, v_snap: load(
+            self._take_kv_buffer(batch, slots), k_snap, v_snap
+        )
 
     # ------------------------------------------------------------- tokenize
     def _encode_text(self, text: str) -> List[int]:
@@ -338,17 +389,22 @@ class MoondreamModel:
         embeds = jnp.concatenate([bos_emb, img_emb[None]], axis=1).astype(self.dtype)
         seq = embeds.shape[1]
 
-        kv = KVCache.create(self.config.text, batch=1, dtype=self.dtype)
+        kv = self._take_kv_buffer(1)
         _, _, kv = self._prefill_fn(self._kv_bound(seq))(
             self.params["text"], kv, embeds,
             jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
         )
-        return EncodedImage(pos=seq, k=kv.k[:, :, :, :seq, :], v=kv.v[:, :, :, :seq, :])
+        enc = EncodedImage(
+            pos=seq, k=kv.k[:, :, :, :seq, :], v=kv.v[:, :, :, :seq, :]
+        )
+        self._recycle_kv(kv)
+        return enc
 
     def load_encoded_image(self, encoded: EncodedImage) -> KVCache:
-        """Materialize a fresh working KV cache from a snapshot
-        (functional analog of reference moondream.py:620-623)."""
-        return self._load_kv_fn()(encoded.k, encoded.v)
+        """Materialize a working KV cache from a snapshot (functional analog
+        of reference moondream.py:620-623). Reuses a pooled buffer when one
+        is available so restore costs only the snapshot write."""
+        return self._load_kv_fn()(self._take_kv_buffer(1), encoded.k, encoded.v)
 
     # ------------------------------------------------------------- prefill
     def _variant(self, settings) -> Optional[dict]:
@@ -440,14 +496,17 @@ class MoondreamModel:
         eos = eos_id if eos_id is not None else self.config.tokenizer.eos_id
         suppress = (self.config.tokenizer.answer_id,)
         buffer = self.config.text.max_context
+        bound = self._decode_bound(pos + max_tokens + 1)
 
-        result = self._generate_fn(eos, suppress, buffer)(
+        result = self._generate_fn(eos, suppress, buffer, bound)(
             self.params["text"], kv, next_token, jnp.int32(pos),
             self._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
             jnp.int32(max_tokens), lora=lora, steer=steer,
         )
         count = int(result.count)
-        return [int(t) for t in np.asarray(result.tokens[:count])]
+        tokens = [int(t) for t in np.asarray(result.tokens[:count])]
+        self._recycle_kv(result.kv)
+        return tokens
 
     def _stream_answer(
         self, kv, next_token, pos, settings, eos_id=None, lora=None, steer=None
@@ -457,7 +516,7 @@ class MoondreamModel:
         max_tokens, temperature, top_p = self._settings(settings)
         eos = eos_id if eos_id is not None else self.config.tokenizer.eos_id
         answer_id = self.config.tokenizer.answer_id
-        decode = self._decode_fn()
+        decode = self._decode_fn(self._decode_bound(pos + max_tokens + 1))
         sample = self._sample_fn()
         wte = self.params["text"]["wte"]
         streamer = TokenStreamer(self._decode_tokens)
@@ -465,23 +524,26 @@ class MoondreamModel:
 
         tok = int(next_token)
         generated = 0
-        while tok != eos and generated < max_tokens and pos < max_ctx:
-            chunk = streamer.feed(tok)
-            if chunk:
-                yield chunk
-            emb = wte[jnp.asarray([[tok]])].astype(self.dtype)
-            logits, _, kv = decode(
-                self.params["text"], kv, emb, jnp.int32(pos), lora=lora, steer=steer
-            )
-            logits = logits.at[answer_id].set(engine.NEG_INF)
-            tok = int(
-                sample(logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p))
-            )
-            pos += 1
-            generated += 1
-        tail = streamer.finish()
-        if tail:
-            yield tail
+        try:
+            while tok != eos and generated < max_tokens and pos < max_ctx:
+                chunk = streamer.feed(tok)
+                if chunk:
+                    yield chunk
+                emb = wte[jnp.asarray([[tok]])].astype(self.dtype)
+                logits, _, kv = decode(
+                    self.params["text"], kv, emb, jnp.int32(pos), lora=lora, steer=steer
+                )
+                logits = logits.at[answer_id].set(engine.NEG_INF)
+                tok = int(
+                    sample(logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p))
+                )
+                pos += 1
+                generated += 1
+            tail = streamer.finish()
+            if tail:
+                yield tail
+        finally:
+            self._recycle_kv(kv)
 
     # ---------------------------------------------------------------- query
     def query(
@@ -513,7 +575,7 @@ class MoondreamModel:
             prompt = list(templates["prefix"])
             prefix_len = self.config.text.prefix_attn
         else:
-            kv = KVCache.create(self.config.text, batch=1, dtype=self.dtype)
+            kv = self._take_kv_buffer(1)
             pos = 0
             prompt = [tok_cfg.bos_id] + list(templates["prefix"])
             prefix_len = 0  # pure causal (reference moondream.py:566-574)
@@ -538,7 +600,9 @@ class MoondreamModel:
             )
             suppress = (tok_cfg.eos_id, tok_cfg.size_id)
             buffer = self.config.text.max_context
-            res = self._reasoning_fn(suppress, buffer)(
+            res = self._reasoning_fn(
+                suppress, buffer, self._decode_bound(pos + max_tokens + 1)
+            )(
                 self.params["text"], self.params["region"], kv,
                 next_token, hidden, jnp.int32(pos), self._next_rng(),
                 jnp.float32(temperature), jnp.float32(top_p),
@@ -674,11 +738,14 @@ class MoondreamModel:
             if settings
             else DEFAULT_MAX_OBJECTS
         )
-        res = self._points_fn(include_size, max_objects)(
+        steps_per_object = 3 if include_size else 2
+        bound = self._decode_bound(pos + steps_per_object * max_objects + 2)
+        res = self._points_fn(include_size, max_objects, bound)(
             self.params["text"], self.params["region"], kv,
             hidden, next_token, jnp.int32(pos), lora=lora,
         )
         boxes = np.asarray(res.boxes[: int(res.count)], dtype=np.float64)
+        self._recycle_kv(res.kv)
         return boxes
 
     def detect(self, image, object: str, settings=None):
@@ -702,15 +769,63 @@ class MoondreamModel:
         return {"points": [{"x": float(p[0]), "y": float(p[1])} for p in pts]}
 
     # -------------------------------------------------------------- batching
+    def _stitch_proj_batched_fn(self, tiling: Tuple[int, int]):
+        cfg = self.config.vision
+        g = cfg.grid_size
+
+        def build():
+            def run(vision_params, global_feats, local_feats):
+                local = local_feats.reshape(-1, g, g, cfg.enc_dim)
+                recon = reconstruct_from_crops(
+                    local, tiling, overlap_margin=cfg.overlap_margin, patch_size=1
+                )
+                return vision_ops.vision_projection(
+                    global_feats, recon, vision_params, cfg
+                )
+
+            return jax.jit(jax.vmap(run, in_axes=(None, 0, 0)))
+
+        return self._jit(("stitch_b", tiling), build)
+
     def encode_images(self, images, settings=None) -> List[EncodedImage]:
-        """Batched image encode: one ViT call per crop-count group and ONE
-        batched [BOS, image] prefill for all images. New TPU-native
-        capability — the reference has no multi-image path (its
-        batch_answer loops, hf_moondream.py:99-103)."""
+        """Batched image encode: host crops for every image, ONE ViT call
+        per (crop-count, tiling) group over the concatenated crop stack,
+        one vmapped stitch+projection per group, and ONE batched
+        [BOS, image] prefill for all images. New TPU-native capability —
+        the reference has no multi-image path (its batch_answer loops,
+        hf_moondream.py:99-103)."""
+        from collections import defaultdict
+
         from ..engine import batched as batched_engine
 
+        cfg = self.config.vision
         lora = self._variant(settings)
-        img_embs = [self._run_vision_encoder(im) for im in images]
+
+        prepped = []
+        for im in images:
+            np_image = np.asarray(im.convert("RGB"))
+            co = overlap_crop_image(
+                np_image, overlap_margin=cfg.overlap_margin,
+                max_crops=cfg.max_crops,
+            )
+            prepped.append((co["crops"], tuple(co["tiling"])))
+
+        groups = defaultdict(list)
+        for i, (crops, tiling) in enumerate(prepped):
+            groups[(crops.shape[0], tiling)].append(i)
+
+        img_embs: List[Optional[jax.Array]] = [None] * len(images)
+        for (n, tiling), idxs in groups.items():
+            batch_crops = np.concatenate([prepped[i][0] for i in idxs], axis=0)
+            feats = self._vis_enc_fn()(
+                self.params["vision"], jnp.asarray(batch_crops)
+            )
+            feats = feats.reshape(len(idxs), n, *feats.shape[1:])
+            embs = self._stitch_proj_batched_fn(tiling)(
+                self.params["vision"], feats[:, 0], feats[:, 1:n]
+            )
+            for j, i in enumerate(idxs):
+                img_embs[i] = embs[j]
 
         bos = self.config.tokenizer.bos_id
         wte = self.params["text"]["wte"]
@@ -720,12 +835,12 @@ class MoondreamModel:
         ).astype(self.dtype)
         bsz, seq, _ = embeds.shape
 
-        kv = KVCache.create(self.config.text, batch=bsz, dtype=self.dtype)
+        kv = self._take_kv_buffer(bsz, self._kv_bound(seq))
         _, _, kv = self._prefill_batched_fn(self._kv_bound(seq))(
             self.params["text"], kv, embeds,
             jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
         )
-        return [
+        encs = [
             EncodedImage(
                 pos=seq,
                 k=kv.k[:, b : b + 1, :, :seq, :],
@@ -733,6 +848,8 @@ class MoondreamModel:
             )
             for b in range(bsz)
         ]
+        self._recycle_kv(kv, bsz)
+        return encs
 
     def caption_batch(
         self,
@@ -772,15 +889,17 @@ class MoondreamModel:
 
         bsz = len(encs)
         pos = encs[0].pos
-        kv = self._load_kv_batched_fn(bsz)(
-            jnp.concatenate([e.k for e in encs], axis=1),
-            jnp.concatenate([e.v for e in encs], axis=1),
-        )
-
         max_tokens, temperature, top_p = self._settings(settings)
         ids = list(prompt_tokens)
         length = len(ids)
         pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        # right-size the batched cache to the session bound: a 2048-slot
+        # batch-8 2B cache is 3.2GB; typical caption sessions fit in half
+        bound = self._decode_bound(pos + pad + max_tokens + 1)
+        kv = self._load_kv_batched_fn(bsz, bound)(
+            jnp.concatenate([e.k for e in encs], axis=1),
+            jnp.concatenate([e.v for e in encs], axis=1),
+        )
         ids_padded = ids + [0] * (pad - length)
         emb = jnp.broadcast_to(
             self.params["text"]["wte"][jnp.asarray(ids_padded)][None],
@@ -798,13 +917,16 @@ class MoondreamModel:
 
         suppress = (self.config.tokenizer.answer_id,)
         buffer = self.config.text.max_context
-        res = self._generate_batched_fn(self.config.tokenizer.eos_id, suppress, buffer)(
+        res = self._generate_batched_fn(
+            self.config.tokenizer.eos_id, suppress, buffer, bound
+        )(
             self.params["text"], kv, first, jnp.int32(pos + length),
             self._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
             jnp.int32(max_tokens), lora=lora,
         )
         tokens = np.asarray(res.tokens)
         counts = np.asarray(res.counts)
+        self._recycle_kv(res.kv, bsz)
         return [
             "".join(stream_text(tokens[b, : counts[b]], self._decode_tokens))
             for b in range(bsz)
@@ -846,13 +968,15 @@ class MoondreamModel:
         if int(next_token) == self.config.tokenizer.eos_id:
             return None
 
-        res = self._points_fn(False, 1)(
+        res = self._points_fn(False, 1, self._decode_bound(pos + 4))(
             self.params["text"], self.params["region"], kv,
             hidden, next_token, jnp.int32(pos),
         )
-        if int(res.count) == 0:
-            return None
+        count = int(res.count)
         b = np.asarray(res.boxes[0])
+        self._recycle_kv(res.kv)
+        if count == 0:
+            return None
         return {"x": float(b[0]), "y": float(b[1])}
 
     def detect_gaze(

@@ -46,13 +46,20 @@ class KVCache(NamedTuple):
 
     @classmethod
     def create(
-        cls, config: TextConfig, batch: int = 1, dtype=jnp.bfloat16
+        cls,
+        config: TextConfig,
+        batch: int = 1,
+        dtype=jnp.bfloat16,
+        slots: int = None,
     ) -> "KVCache":
+        """`slots` right-sizes the cache below max_context when the caller
+        knows the session's end position (serving-path memory saver: a
+        2048-slot 2B batch-8 cache is 3.2GB; a 1024-slot one is half that)."""
         shape = (
             config.n_layers,
             batch,
             config.n_kv_heads,
-            config.max_context,
+            slots if slots is not None else config.max_context,
             config.head_dim,
         )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
@@ -84,24 +91,33 @@ def attn_with_cache(
     x: jax.Array,
     w: dict,
     freqs_cis: jax.Array,
-    kv: Tuple[jax.Array, jax.Array],
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    layer: jax.Array,
     pos: jax.Array,
     prefix_len: jax.Array,
     config: TextConfig,
     lora: Optional[dict],
     kv_bound: Optional[int] = None,
-) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """One attention layer reading/updating a persistent KV cache.
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One attention layer reading/updating the FULL stacked KV cache.
 
-    x: (B, T, D) pre-normed input; kv: (B, H_kv, max_ctx, Dh) pair; pos:
-    scalar start position (prefill and decode both write contiguous spans);
-    prefix_len: bidirectional-prefix length (730 after an image, 0 for pure
-    causal) — masking follows the unified rule in ops.attention. `kv_bound`
-    (static) restricts attention to the first kv_bound cache slots — callers
-    that know pos+q_len <= kv_bound skip reading (and attending over) the
-    dead tail of the cache. Reference semantics: text.py:16-60 with the mask
-    of moondream.py:138-146.
+    x: (B, T, D) pre-normed input; k_cache/v_cache: (L, B, H_kv, max_ctx,
+    Dh) whole-model caches with `layer` a traced index; pos: scalar start
+    position (prefill and decode both write contiguous spans); prefix_len:
+    bidirectional-prefix length (730 after an image, 0 for pure causal) —
+    masking follows the unified rule in ops.attention. `kv_bound` (static)
+    restricts attention to the first kv_bound cache slots.
+
+    The cache is threaded whole (updated via dynamic_update_slice at
+    (layer, pos)) rather than per-layer scan xs: an XLA-level `kv[layer]`
+    slice feeding the opaque decode kernel would materialize a cache-layer
+    copy per layer per token. The single-token path hands the whole cache
+    to `decode_attention_cached`, whose index map selects the layer block.
+    Reference semantics: text.py:16-60 with the mask of moondream.py:138-146.
     """
+    from ..ops.attention import _use_pallas, decode_attention_cached
+
     bsz, q_len, _ = x.shape
     qkv = lora_linear(x, w["qkv"], lora.get("qkv") if lora else None)
     q, k, v = _split_qkv(qkv, config)
@@ -110,23 +126,28 @@ def attn_with_cache(
     q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
     k = apply_rotary_emb(k, freqs_cis, position_ids, config.rope_dim)
 
-    k_cache, v_cache = kv
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype)[None], (layer, 0, 0, pos, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype)[None], (layer, 0, 0, pos, 0)
+    )
 
-    k_full, v_full = k_cache, v_cache
-    if kv_bound is not None:
-        k_full = k_full[:, :, :kv_bound]
-        v_full = v_full[:, :, :kv_bound]
-    if config.n_kv_heads != config.n_heads:
-        rep = config.n_heads // config.n_kv_heads
-        k_full = jnp.repeat(k_full, rep, axis=1)
-        v_full = jnp.repeat(v_full, rep, axis=1)
+    if q_len == 1 and _use_pallas():
+        out = decode_attention_cached(
+            q, k_cache, v_cache, layer, pos, prefix_len, kv_bound
+        )
+    else:
+        k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        if kv_bound is not None:
+            k_l = k_l[:, :, :kv_bound]
+            v_l = v_l[:, :, :kv_bound]
+        out = attention(q, k_l, v_l, pos, prefix_len)
 
-    out = attention(q, k_full, v_full, pos, prefix_len)
     out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
     out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
-    return out, (k_cache, v_cache)
+    return out, k_cache, v_cache
 
 
 def attn_uncached(
@@ -178,23 +199,28 @@ def text_decoder(
     presence is a trace-time branch; passing None compiles the plain path.
     """
 
+    n_layers = config.n_layers
+
     def block(carry, layer_in):
-        h = carry
-        bw, kv_l, lora_l, steer_l = layer_in
+        h, k_cache, v_cache = carry
+        bw, lora_l, steer_l, lidx = layer_in
         ln_in = layer_norm(h, bw["ln"])
-        attn_out, new_kv = attn_with_cache(
-            ln_in, bw["attn"], w["freqs_cis"], kv_l, pos, prefix_len, config,
-            lora_l.get("attn") if lora_l else None, kv_bound,
+        attn_out, k_cache, v_cache = attn_with_cache(
+            ln_in, bw["attn"], w["freqs_cis"], k_cache, v_cache, lidx, pos,
+            prefix_len, config, lora_l.get("attn") if lora_l else None,
+            kv_bound,
         )
         mlp_out = mlp(ln_in, bw["mlp"], lora=lora_l.get("mlp") if lora_l else None)
         h = h + attn_out + mlp_out
         if steer_l is not None:
             h = h + steer_l.astype(h.dtype)
-        return h, new_kv
+        return (h, k_cache, v_cache), None
 
-    xs = (w["blocks"], (kv_cache.k, kv_cache.v), lora, steer)
-    hidden, new_kv = jax.lax.scan(block, x, xs)
-    return hidden, KVCache(*new_kv)
+    xs = (w["blocks"], lora, steer, jnp.arange(n_layers, dtype=jnp.int32))
+    (hidden, new_k, new_v), _ = jax.lax.scan(
+        block, (x, kv_cache.k, kv_cache.v), xs
+    )
+    return hidden, KVCache(new_k, new_v)
 
 
 def prefix_attn_mask(q_len: int, prefix: int) -> jnp.ndarray:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -128,6 +129,287 @@ def flash_attention(
     return out[:, :, :tq] if tq_p != tq else out
 
 
+def _decode_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Single-query attention over a KV span, one (batch, head-tile) per
+    program.
+
+    Per-program work: H_TILE head-batched (1, D) x (T, D)^T score rows +
+    softmax + (1, T) x (T, D) outputs — small compute; the kernel exists so
+    the cache is streamed through VMEM exactly once per step in its native
+    (H, T, D) layout (each head's (T, D) slab is contiguous in HBM), instead
+    of XLA's transposed/relayout reads that dominated decode time. Tiling
+    several heads per program keeps the grid small (program-switch overhead
+    was the dominant cost at batch 8 x 32 heads x 24 layers).
+    """
+    pos = scalars_ref[0]
+    prefix = scalars_ref[1]
+
+    q = q_ref[...]  # (HT, 1, D)
+    k = k_ref[...]  # (HT, T, D)
+    v = v_ref[...]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (HT, 1, T)
+    s = s * scale
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    s = jnp.where(mask, s, jnp.float32(-1e30))
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+
+    o_ref[...] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _decode_kernel_gqa(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rep):
+    """GQA tile: `rep` query heads sharing ONE KV head per program."""
+    pos = scalars_ref[0]
+    prefix = scalars_ref[1]
+
+    q = q_ref[...][:, 0, :]  # (rep, D)
+    k = k_ref[0]  # (T, D)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (rep, T) — one shared-KV 2D dot, same MXU op as the exact kernel
+    s = s * scale
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    s = jnp.where(mask, s, jnp.float32(-1e30))
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (rep, D)
+    o_ref[...] = o[:, None, :].astype(o_ref.dtype)
+
+
+def decode_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pos,
+    prefix,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused single-token decode attention reading the persistent KV cache.
+
+    q: (B, Hq, 1, D); k/v: (B, Hkv, T, D) with Hq a multiple of Hkv (GQA is
+    resolved by the block index map — no materialized jnp.repeat of the
+    cache). Returns (B, Hq, 1, D).
+    """
+    b, hq, tq, d = q.shape
+    hkv, tk = k.shape[1], k.shape[2]
+    assert tq == 1 and hq % hkv == 0
+    rep = hq // hkv
+    scale = 1.0 / (d**0.5)
+
+    # Heads per program: as large as the VMEM budget allows (~12MB with
+    # double buffering) — fat tiles amortize per-program overhead, which
+    # dominated at small tiles. With GQA the KV tile must map to whole KV
+    # heads, so tile by the group size.
+    if rep == 1:
+        vmem_budget = 12 * 1024 * 1024
+        ht = max(1, vmem_budget // (2 * 2 * _ceil_to(tk, 128) * max(d, 128) * 2))
+        ht = min(hq, 1 << (ht.bit_length() - 1))
+    else:
+        ht = rep
+    while hq % ht:
+        ht //= 2
+    kv_ht = max(1, ht // rep)
+
+    tk_p = _ceil_to(tk, 128)
+    if tk_p != tk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+    scalars = jnp.asarray([pos, prefix], jnp.int32)
+
+    # fold batch into the head grid axis so q blocks stay (HT, 1, D)
+    qf = q.reshape(b * hq, 1, d)
+    kf = k.reshape(b * hkv, tk_p, d)
+    vf = v.reshape(b * hkv, tk_p, d)
+    n_tiles = (b * hq) // ht
+
+    def kv_index(i, s):
+        # program i covers q heads [i*ht, (i+1)*ht) of the flattened (b*hq)
+        # axis; its KV rows start at the matching flattened (b*hkv) offset.
+        # BlockSpec index maps are in BLOCK units: divide the row by kv_ht.
+        bi = (i * ht) // hq
+        h0 = (i * ht) % hq
+        return ((bi * hkv + h0 // rep) // kv_ht, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (ht, 1, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((kv_ht, tk_p, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv_ht, tk_p, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ht, 1, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    kernel = _decode_kernel if rep == 1 else functools.partial(
+        _decode_kernel_gqa, rep=rep
+    )
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * hq, 1, d), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * hq * tk_p * d,
+            bytes_accessed=b * (hq + 2 * hkv) * tk_p * d * 2,
+            transcendentals=b * hq * tk_p,
+        ),
+    )(scalars, qf, kf, vf)
+    return out.reshape(b, hq, 1, d)
+
+
+def decode_attention_cached(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    layer,
+    pos,
+    prefix,
+    kv_bound: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token decode attention reading ONE layer of the full stacked
+    KV cache (L, B, Hkv, T, D) — the layer is selected by the block index
+    map from a scalar-prefetch operand, so the cache is passed whole and
+    never sliced at the XLA level. This matters inside the per-layer scan:
+    a host-side `kv[l]` slice feeding an opaque pallas call materializes a
+    full-cache-layer copy every layer of every decode step (gigabytes per
+    token at batch 8); the in-kernel index map reads only the blocks it
+    DMAs.
+
+    q: (B, Hq, 1, D). Returns (B, Hq, 1, D).
+    """
+    b, hq, tq, d = q.shape
+    L, _, hkv, t_max, _ = k_cache.shape
+    assert tq == 1 and hq % hkv == 0
+    rep = hq // hkv
+    scale = 1.0 / (d**0.5)
+    tk = t_max if kv_bound is None else min(kv_bound, t_max)
+    tk = _ceil_to(tk, 128) if tk % 128 else tk
+    tk = min(tk, t_max)
+
+    if rep == 1:
+        vmem_budget = 12 * 1024 * 1024
+        ht = max(1, vmem_budget // (2 * 2 * tk * max(d, 128) * 2))
+        ht = min(hq, 1 << (ht.bit_length() - 1))
+    else:
+        ht = rep
+    while hq % ht:
+        ht //= 2
+    kv_ht = max(1, ht // rep)
+
+    scalars = jnp.asarray([pos, prefix, layer], jnp.int32)
+    qf = q.reshape(b * hq, 1, d)
+    n_tiles = (b * hq) // ht
+
+    def kv_index(i, s):
+        bi = (i * ht) // hq
+        h0 = (i * ht) % hq
+        return (s[2], bi, (h0 // rep) // kv_ht, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (ht, 1, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ht, 1, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    kernel = _decode_kernel_stacked if rep == 1 else functools.partial(
+        _decode_kernel_stacked_gqa, rep=rep
+    )
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * hq, 1, d), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * hq * tk * d,
+            bytes_accessed=b * (hq + 2 * hkv) * tk * d * 2,
+            transcendentals=b * hq * tk,
+        ),
+    )(scalars, qf, k_cache, v_cache)
+    return out.reshape(b, hq, 1, d)
+
+
+def _decode_kernel_stacked(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    pos = scalars_ref[0]
+    prefix = scalars_ref[1]
+
+    q = q_ref[...]  # (HT, 1, D)
+    k = k_ref[0, 0]  # (HT, T, D)
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (HT, 1, T)
+    s = s * scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    s = jnp.where(mask, s, jnp.float32(-1e30))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _decode_kernel_stacked_gqa(
+    scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rep
+):
+    pos = scalars_ref[0]
+    prefix = scalars_ref[1]
+
+    q = q_ref[...][:, 0, :]  # (rep, D)
+    k = k_ref[0, 0, 0]  # (T, D)
+    v = v_ref[0, 0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    s = jnp.where(mask, s, jnp.float32(-1e30))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[...] = o[:, None, :].astype(o_ref.dtype)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -136,16 +418,28 @@ def attention(
     prefix,
     force_xla: bool = False,
 ) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, masked-XLA sdpa elsewhere
+    """Dispatch: Pallas kernels on TPU, masked-XLA sdpa elsewhere
     (tests run the CPU path; kernel correctness is tested via interpret).
-    Single-query decode steps stay on the XLA path — at Tq=1 the fp32 score
-    row is tiny and XLA's fused softmax wins over kernel launch overhead."""
-    if force_xla or q.shape[2] == 1 or not _use_pallas():
-        from .layers import sdpa
+    k/v may have fewer heads than q (GQA): the decode kernel resolves the
+    group mapping in its index map; other paths repeat here."""
+    hq, hkv = q.shape[1], k.shape[1]
+    if not force_xla and _use_pallas():
+        if q.shape[2] == 1:
+            return decode_attention(q, k, v, pos, prefix)
+        if hq != hkv:
+            rep = hq // hkv
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        return flash_attention(q, k, v, pos, prefix)
 
-        tq, tk = q.shape[2], k.shape[2]
-        rows = pos + jnp.arange(tq, dtype=jnp.int32)[:, None]
-        cols = jnp.arange(tk, dtype=jnp.int32)[None, :]
-        mask = (cols <= rows) | ((rows < prefix) & (cols < prefix))
-        return sdpa(q, k, v, mask[None, None])
-    return flash_attention(q, k, v, pos, prefix)
+    from .layers import sdpa
+
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    tq, tk = q.shape[2], k.shape[2]
+    rows = pos + jnp.arange(tq, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(tk, dtype=jnp.int32)[None, :]
+    mask = (cols <= rows) | ((rows < prefix) & (cols < prefix))
+    return sdpa(q, k, v, mask[None, None])

@@ -83,3 +83,94 @@ def test_pure_causal():
     np.testing.assert_allclose(
         _pallas(q, k, v, 0, 0), _xla(q, k, v, 0, 0), atol=2e-5, rtol=1e-4
     )
+
+
+# ------------------------------------------------- decode kernel (Tq == 1)
+def _pallas_decode(q, k, v, pos, prefix):
+    from moondream_tpu.ops.attention import decode_attention
+
+    return np.asarray(
+        decode_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), pos, prefix,
+            interpret=True,
+        )
+    )
+
+
+def test_decode_kernel_matches_xla():
+    rng = np.random.default_rng(2)
+    b, h, tk, d = 1, 8, 512, 64
+    q = (rng.standard_normal((b, h, 1, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    for pos in (0, 100, 511):
+        np.testing.assert_allclose(
+            _pallas_decode(q, k, v, pos, 0), _xla(q, k, v, pos, 0),
+            atol=2e-5, rtol=1e-4,
+        )
+
+
+def test_decode_kernel_masks_garbage_tail():
+    """Slots beyond pos hold garbage between requests — they must not leak."""
+    rng = np.random.default_rng(3)
+    b, h, tk, d = 1, 4, 256, 64
+    q = (rng.standard_normal((b, h, 1, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    pos = 97
+    k_dirty = k.copy()
+    v_dirty = v.copy()
+    k_dirty[:, :, pos + 1 :] = 1e4
+    v_dirty[:, :, pos + 1 :] = -1e4
+    np.testing.assert_allclose(
+        _pallas_decode(q, k_dirty, v_dirty, pos, 0),
+        _pallas_decode(q, k, v, pos, 0),
+        atol=1e-6,
+    )
+
+
+def test_decode_kernel_gqa_group_mapping():
+    """Hq > Hkv: each query head must read its own KV group via the index
+    map, matching XLA with an explicit repeat."""
+    rng = np.random.default_rng(4)
+    b, hq, hkv, tk, d = 2, 8, 2, 128, 64
+    q = (rng.standard_normal((b, hq, 1, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, hkv, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, hkv, tk, d)) * 0.3).astype(np.float32)
+    rep = hq // hkv
+    k_rep = np.repeat(k, rep, axis=1)
+    v_rep = np.repeat(v, rep, axis=1)
+    np.testing.assert_allclose(
+        _pallas_decode(q, k, v, 64, 0), _xla(q, k_rep, v_rep, 64, 0),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_decode_kernel_prefix_rule():
+    """A decode step *inside* the bidirectional prefix (pos < prefix) may
+    attend to the whole prefix block."""
+    rng = np.random.default_rng(5)
+    b, h, tk, d = 1, 2, 128, 64
+    q = (rng.standard_normal((b, h, 1, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    np.testing.assert_allclose(
+        _pallas_decode(q, k, v, 10, 100), _xla(q, k, v, 10, 100),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_decode_kernel_multi_tile_block_mapping():
+    """b=2 with 32 heads exercises multiple 8-head tiles per batch row —
+    the KV block index map must be in block units, not rows."""
+    rng = np.random.default_rng(6)
+    b, h, tk, d = 2, 32, 256, 64
+    q = (rng.standard_normal((b, h, 1, d)) * 0.3).astype(np.float32)
+    # make each head's KV distinct so a block-mapping error is visible
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = np.broadcast_to(
+        np.arange(b * h, dtype=np.float32).reshape(b, h, 1, 1), (b, h, tk, d)
+    ).copy()
+    out = _pallas_decode(q, k, v, 200, 0)
+    ref = _xla(q, k, v, 200, 0)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
