@@ -25,6 +25,11 @@ class TextConfig:
     n_kv_heads: int = 32
     prefix_attn: int = 730
     group_size: Optional[int] = None
+    # Route attention through plain XLA ops instead of Pallas kernels.
+    # Set (via dataclasses.replace) when running under GSPMD sharding:
+    # XLA partitions sdpa across the mesh, while an opaque kernel call
+    # would not partition. Static, so it keys distinct jit traces.
+    xla_attn: bool = False
 
     @property
     def head_dim(self) -> int:

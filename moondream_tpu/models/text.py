@@ -133,7 +133,7 @@ def attn_with_cache(
         v_cache, v.astype(v_cache.dtype)[None], (layer, 0, 0, pos, 0)
     )
 
-    if q_len == 1 and _use_pallas():
+    if q_len == 1 and _use_pallas() and not config.xla_attn:
         out = decode_attention_cached(
             q, k_cache, v_cache, layer, pos, prefix_len, kv_bound
         )
@@ -143,7 +143,7 @@ def attn_with_cache(
         if kv_bound is not None:
             k_l = k_l[:, :, :kv_bound]
             v_l = v_l[:, :, :kv_bound]
-        out = attention(q, k_l, v_l, pos, prefix_len)
+        out = attention(q, k_l, v_l, pos, prefix_len, force_xla=config.xla_attn)
 
     out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
     out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
