@@ -70,6 +70,67 @@ def text_encoder(input_ids: jax.Array, w: dict) -> jax.Array:
     return w["wte"][input_ids]
 
 
+def _q_lin(
+    x: jax.Array,
+    qw: dict,
+    b: Optional[jax.Array],
+    layer: jax.Array,
+    lora_pair: Optional[dict] = None,
+) -> jax.Array:
+    """int4 linear over stacked per-layer packed weights (+ bias + LoRA).
+    x: (..., K); qw: quantized stacked tree from ops.quant."""
+    from ..ops.quant import quantized_matmul
+
+    lead = x.shape[:-1]
+    y = quantized_matmul(x.reshape(-1, x.shape[-1]), qw, layer)
+    y = y.reshape(*lead, -1)
+    if b is not None:
+        y = (y.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+    if lora_pair is not None:
+        a = jnp.dot(x, lora_pair["A"].T, preferred_element_type=jnp.float32)
+        y = y + jnp.dot(
+            a, lora_pair["B"].T, preferred_element_type=jnp.float32
+        ).astype(y.dtype)
+    return y
+
+
+def quantize_text_params(text_params: dict) -> dict:
+    """Convert dense stacked block weights to the int4 runtime format.
+
+    Returns a new text param tree where blocks/{attn,mlp}/*/w are replaced
+    by a `blocks_q` tree of {packed, scale, zero} stacked arrays (biases
+    and norms stay dense; wte / lm_head stay bf16). The decode path reads
+    packed weights directly through the fused dequant-matmul kernel —
+    the runtime analog of the reference's int4 checkpoints
+    (layers.py:47-77) with torchao replaced by a Pallas kernel.
+    """
+    import numpy as np
+
+    from ..ops.quant import quantize_weight
+
+    blocks = text_params["blocks"]
+    blocks_q = {"attn": {}, "mlp": {}}
+    new_blocks = {
+        "ln": blocks["ln"],
+        "attn": {},
+        "mlp": {},
+    }
+    for mod, names in (("attn", ("qkv", "proj")), ("mlp", ("fc1", "fc2"))):
+        for nm in names:
+            dense = np.asarray(blocks[mod][nm]["w"], dtype=np.float32)
+            q = quantize_weight(dense)
+            blocks_q[mod][nm] = {
+                "packed": jnp.asarray(q["packed"]),
+                "scale": jnp.asarray(q["scale"]),
+                "zero": jnp.asarray(q["zero"]),
+            }
+            new_blocks[mod][nm] = {"b": blocks[mod][nm]["b"]}
+    out = dict(text_params)
+    out["blocks"] = new_blocks
+    out["blocks_q"] = blocks_q
+    return out
+
+
 def _split_qkv(qkv: jax.Array, config: TextConfig) -> Tuple[jax.Array, ...]:
     b, t, _ = qkv.shape
     q_dim = config.n_heads * config.head_dim
@@ -99,6 +160,7 @@ def attn_with_cache(
     config: TextConfig,
     lora: Optional[dict],
     kv_bound: Optional[int] = None,
+    quant: Optional[dict] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One attention layer reading/updating the FULL stacked KV cache.
 
@@ -119,7 +181,13 @@ def attn_with_cache(
     from ..ops.attention import _use_pallas, decode_attention_cached
 
     bsz, q_len, _ = x.shape
-    qkv = lora_linear(x, w["qkv"], lora.get("qkv") if lora else None)
+    if quant is not None:
+        qkv = _q_lin(
+            x, quant["qkv"], w["qkv"]["b"], layer,
+            lora.get("qkv") if lora else None,
+        )
+    else:
+        qkv = lora_linear(x, w["qkv"], lora.get("qkv") if lora else None)
     q, k, v = _split_qkv(qkv, config)
 
     position_ids = pos + jnp.arange(q_len, dtype=jnp.int32)
@@ -146,7 +214,13 @@ def attn_with_cache(
         out = attention(q, k_l, v_l, pos, prefix_len, force_xla=config.xla_attn)
 
     out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
-    out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
+    if quant is not None:
+        out = _q_lin(
+            out, quant["proj"], w["proj"]["b"], layer,
+            lora.get("proj") if lora else None,
+        )
+    else:
+        out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
     return out, k_cache, v_cache
 
 
@@ -200,17 +274,34 @@ def text_decoder(
     """
 
     n_layers = config.n_layers
+    # quantized stacked weights stay in the closure (whole arrays; the
+    # kernel's index map selects the layer) — never in scan xs
+    blocks_q = w.get("blocks_q")
 
     def block(carry, layer_in):
         h, k_cache, v_cache = carry
         bw, lora_l, steer_l, lidx = layer_in
+        lora_mlp = lora_l.get("mlp") if lora_l else None
         ln_in = layer_norm(h, bw["ln"])
         attn_out, k_cache, v_cache = attn_with_cache(
             ln_in, bw["attn"], w["freqs_cis"], k_cache, v_cache, lidx, pos,
             prefix_len, config, lora_l.get("attn") if lora_l else None,
-            kv_bound,
+            kv_bound, quant=blocks_q["attn"] if blocks_q else None,
         )
-        mlp_out = mlp(ln_in, bw["mlp"], lora=lora_l.get("mlp") if lora_l else None)
+        if blocks_q is not None:
+            m = _q_lin(
+                ln_in, blocks_q["mlp"]["fc1"], bw["mlp"]["fc1"]["b"], lidx,
+                lora_mlp.get("fc1") if lora_mlp else None,
+            )
+            from ..ops.layers import gelu_approx
+
+            m = gelu_approx(m)
+            mlp_out = _q_lin(
+                m, blocks_q["mlp"]["fc2"], bw["mlp"]["fc2"]["b"], lidx,
+                lora_mlp.get("fc2") if lora_mlp else None,
+            )
+        else:
+            mlp_out = mlp(ln_in, bw["mlp"], lora=lora_mlp)
         h = h + attn_out + mlp_out
         if steer_l is not None:
             h = h + steer_l.astype(h.dtype)

@@ -305,10 +305,19 @@ def load_safetensors_flat(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_params(
-    path: str, config: MoondreamConfig, dtype=jnp.bfloat16
+    path: str,
+    config: MoondreamConfig,
+    dtype=jnp.bfloat16,
+    runtime_int4: bool = False,
 ) -> dict:
     """Load a .safetensors or torch .pt/.bin checkpoint into the parameter
-    pytree (reference entry point: weights.py:156-171)."""
+    pytree (reference entry point: weights.py:156-171).
+
+    runtime_int4=True re-quantizes the text block weights into the packed
+    int4 runtime format served by the fused dequant-matmul kernel
+    (ops.quant) — 4x less decode weight traffic; vision/region/embeddings
+    stay bf16. Works for both bf16 and int4-quantized checkpoints (the
+    latter round-trip through the load-time dequant)."""
     if path.endswith(".safetensors"):
         flat = load_safetensors_flat(path)
     else:
@@ -316,4 +325,9 @@ def load_params(
 
         state = torch.load(path, map_location="cpu", weights_only=True)
         flat = {k: _to_numpy(v) for k, v in state.items()}
-    return params_from_flat(flat, config, dtype)
+    params = params_from_flat(flat, config, dtype)
+    if runtime_int4:
+        from .models.text import quantize_text_params
+
+        params = {**params, "text": quantize_text_params(params["text"])}
+    return params

@@ -1,0 +1,120 @@
+"""int4 runtime quantization tests: pack/unpack roundtrip, fused kernel
+parity (interpret mode) against the XLA dequant+dot path, stacked layer
+indexing, and an end-to-end quantized tiny model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moondream_tpu.ops.quant import (
+    GROUP,
+    dequantize_weight,
+    quantize_weight,
+    quantized_matmul,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((512, 256)).astype(np.float32)
+    q = quantize_weight(w)
+    assert q["packed"].shape == (256, 256)
+    assert q["scale"].shape == (512 // GROUP, 256)
+    back = np.asarray(dequantize_weight(q, jnp.float32))
+    # max error is half a quantization step per (group, column)
+    step = q["scale"]
+    err = np.abs(back - w).reshape(512 // GROUP, GROUP, 256).max(axis=1)
+    assert np.all(err <= step * 0.5 + 1e-5)
+
+
+def test_quantize_packing_halves():
+    """Byte row r holds nibbles for rows r (high) and r + K/2 (low)."""
+    w = np.zeros((256, 128), np.float32)
+    w[3, 0] = 15.0    # row 3 -> high nibble of byte row 3
+    w[131, 0] = 7.0   # row 131 = 3 + 128 -> low nibble of byte row 3
+    w[200, 0] = 15.0  # anchors group 1's scale at 1.0 (affects byte row 72)
+    q = quantize_weight(w)
+    b = int(q["packed"][3, 0])
+    assert b >> 4 == 15
+    assert b & 0x0F == 7
+
+
+def _xla_matmul(x, qw, layer=None):
+    w = dequantize_weight(qw, x.dtype)
+    if layer is not None and w.ndim == 3:
+        w = w[layer]
+    return np.asarray(
+        jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype),
+        np.float32,
+    )
+
+
+@pytest.mark.parametrize("m", [1, 8, 300])
+def test_kernel_matches_xla(m):
+    rng = np.random.default_rng(m)
+    k, n = 512, 256
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.2, jnp.float32)
+    qw = jax.tree.map(
+        jnp.asarray, quantize_weight(rng.standard_normal((k, n)) * 0.1)
+    )
+    out = np.asarray(quantized_matmul(x, qw, interpret=True), np.float32)
+    ref = _xla_matmul(x, qw)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_kernel_stacked_layer_indexing():
+    rng = np.random.default_rng(7)
+    L, k, n = 3, 256, 128
+    x = jnp.asarray(rng.standard_normal((4, k)) * 0.2, jnp.float32)
+    dense = rng.standard_normal((L, k, n)).astype(np.float32) * 0.1
+    qw = jax.tree.map(jnp.asarray, quantize_weight(dense))
+    assert qw["packed"].shape == (L, k // 2, n)
+    for layer in range(L):
+        out = np.asarray(
+            quantized_matmul(x, qw, layer=jnp.int32(layer), interpret=True),
+            np.float32,
+        )
+        ref = _xla_matmul(x, qw, layer)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_quantized_model_end_to_end():
+    """quantize_text_params + full caption pipeline on the tiny model."""
+    from PIL import Image
+
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models.moondream import MoondreamModel
+    from moondream_tpu.models.text import quantize_text_params
+    from moondream_tpu.tokenizer import ByteTokenizer
+
+    cfg = tiny_test_config()
+    model = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
+    dense_params = model.params
+
+    qtext = quantize_text_params(dense_params["text"])
+    assert "blocks_q" in qtext
+    assert "w" not in qtext["blocks"]["attn"]["qkv"]
+    # packed weights are ~4x smaller than the dense bf16 originals
+    dense_bytes = dense_params["text"]["blocks"]["attn"]["qkv"]["w"].size * 2
+    packed_bytes = qtext["blocks_q"]["attn"]["qkv"]["packed"].size
+    assert packed_bytes * 3 < dense_bytes
+
+    qmodel = MoondreamModel(
+        cfg,
+        params={**dense_params, "text": qtext},
+        tokenizer=ByteTokenizer(),
+    )
+    rng = np.random.default_rng(0)
+    image = Image.fromarray(
+        rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    )
+    greedy = {"temperature": 0.0, "top_p": 0.0, "max_tokens": 6}
+    out1 = qmodel.caption(image, "normal", settings=greedy)["caption"]
+    out2 = qmodel.caption(image, "normal", settings=greedy)["caption"]
+    assert out1 == out2  # deterministic
+    ans = qmodel.query(image=image, question="what?", settings=greedy)["answer"]
+    assert isinstance(ans, str)
+    det = qmodel.detect(image, "thing", settings=greedy)
+    assert "objects" in det
