@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--max-tokens", "-t", type=int, default=200)
     parser.add_argument("--sampler", "-s", type=str, default="greedy")
     parser.add_argument("--benchmark", "-b", action="store_true")
+    parser.add_argument("--int4", action="store_true",
+                        help="serve text weights packed int4 through the "
+                             "fused dequant-matmul kernel (1.7x decode)")
     args = parser.parse_args()
 
     import jax
@@ -43,10 +46,21 @@ def main():
     config = (
         MoondreamConfig.from_json(args.config) if args.config else MoondreamConfig()
     )
-    params = load_params(args.model, config) if args.model else None
+    params = (
+        load_params(args.model, config, runtime_int4=args.int4)
+        if args.model
+        else None
+    )
     model = MoondreamModel(
         config, params=params, tokenizer=load_tokenizer(args.tokenizer)
     )
+    if params is None and args.int4:
+        # random-weights demo path: quantize the freshly initialized text tree
+        from .models.text import quantize_text_params
+
+        model.params = {
+            **model.params, "text": quantize_text_params(model.params["text"])
+        }
 
     if not os.path.exists(args.image):
         raise FileNotFoundError(f"Image not found at {args.image}")

@@ -103,10 +103,11 @@ def quantize_text_params(text_params: dict) -> dict:
     packed weights directly through the fused dequant-matmul kernel —
     the runtime analog of the reference's int4 checkpoints
     (layers.py:47-77) with torchao replaced by a Pallas kernel.
-    """
-    import numpy as np
 
-    from ..ops.quant import quantize_weight
+    Quantization itself runs as a jitted device computation (the 2B block
+    weights are ~1.2G elements; host numpy takes minutes on a thin host).
+    """
+    from ..ops.quant import quantize_weight_jax
 
     blocks = text_params["blocks"]
     blocks_q = {"attn": {}, "mlp": {}}
@@ -115,15 +116,10 @@ def quantize_text_params(text_params: dict) -> dict:
         "attn": {},
         "mlp": {},
     }
+    quantize = jax.jit(quantize_weight_jax)
     for mod, names in (("attn", ("qkv", "proj")), ("mlp", ("fc1", "fc2"))):
         for nm in names:
-            dense = np.asarray(blocks[mod][nm]["w"], dtype=np.float32)
-            q = quantize_weight(dense)
-            blocks_q[mod][nm] = {
-                "packed": jnp.asarray(q["packed"]),
-                "scale": jnp.asarray(q["scale"]),
-                "zero": jnp.asarray(q["zero"]),
-            }
+            blocks_q[mod][nm] = quantize(jnp.asarray(blocks[mod][nm]["w"]))
             new_blocks[mod][nm] = {"b": blocks[mod][nm]["b"]}
     out = dict(text_params)
     out["blocks"] = new_blocks

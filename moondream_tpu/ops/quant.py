@@ -71,6 +71,33 @@ def quantize_weight(w: np.ndarray, group: Optional[int] = None) -> dict:
     }
 
 
+def quantize_weight_jax(w: jax.Array, group: Optional[int] = None) -> dict:
+    """Device-side (jittable) version of `quantize_weight` — identical
+    packing and rounding semantics on jnp arrays."""
+    w = w.astype(jnp.float32)
+    *lead, K, N = w.shape
+    if group is None:
+        group = min(GROUP, K // 2)
+        while group > 1 and (K % (2 * group) or K % group):
+            group //= 2
+    assert K % (2 * group) == 0, f"K={K} not divisible by 2*group={group}"
+    g = w.reshape(*lead, K // group, group, N)
+    w_min = g.min(axis=-2)
+    w_max = g.max(axis=-2)
+    scale = jnp.maximum((w_max - w_min) / 15.0, 1e-8)
+    q = jnp.clip(
+        jnp.round((g - w_min[..., None, :]) / scale[..., None, :]), 0, 15
+    )
+    q = q.reshape(*lead, K, N).astype(jnp.uint8)
+    hi = q[..., : K // 2, :]
+    lo = q[..., K // 2 :, :]
+    return {
+        "packed": ((hi << 4) | lo).astype(jnp.uint8),
+        "scale": scale.astype(jnp.float32),
+        "zero": w_min.astype(jnp.float32),
+    }
+
+
 def dequantize_weight(qw: dict, dtype=jnp.bfloat16) -> jax.Array:
     """Dense reconstruction (XLA path / tests). Accepts leading dims."""
     packed = jnp.asarray(qw["packed"])
