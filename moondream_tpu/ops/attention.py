@@ -48,26 +48,36 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     pos = scalars_ref[0]
     prefix = scalars_ref[1]
 
-    q = q_ref[0]  # (Tq, D)
-    k = k_ref[0]  # (Tk, D)
-    v = v_ref[0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-
-    rows = pos + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # the mask is head-independent: build it ONCE per program as an
+    # additive bias (one add per head instead of iota+compare+where —
+    # softmax VPU passes over the (Tq, Tk) scores dominate this kernel)
+    shape = (q_ref.shape[1], k_ref.shape[1])
+    rows = pos + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     mask = (cols <= rows) | ((rows < prefix) & (cols < prefix))
-    s = jnp.where(mask, s, jnp.float32(-1e30))
+    bias = jnp.where(mask, jnp.float32(0), jnp.float32(-1e30))
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
+    # statically-unrolled loop over the program's head tile: one-head-per-
+    # program grids (e.g. 13 crops x 16 ViT heads x 27 layers) were
+    # program-switch-overhead bound
+    for hh in range(q_ref.shape[0]):
+        q = q_ref[hh]  # (Tq, D)
+        k = k_ref[hh]  # (Tk, D)
+        v = v_ref[hh]
 
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+
+        o_ref[hh] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
+            o_ref.dtype
+        )
 
 
 def flash_attention(
@@ -100,16 +110,25 @@ def flash_attention(
     vf = v.reshape(b * h, tk_p, d)
     scalars = jnp.asarray([pos, prefix], jnp.int32)
 
+    # head tile: as many heads per program as the VMEM budget allows
+    # (q/k/v/o blocks + fp32 score matrix per head, double buffered)
+    d_pad = max(d, 128)
+    per_head = 2 * (tq_p + 2 * tk_p + tq_p) * d_pad * 2 + tq_p * tk_p * 4
+    ht = max(1, (10 * 1024 * 1024) // per_head)
+    ht = min(b * h, 1 << (ht.bit_length() - 1))
+    while (b * h) % ht:
+        ht //= 2
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b * h,),
+        grid=((b * h) // ht,),
         in_specs=[
-            pl.BlockSpec((1, tq_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ht, tq_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ht, tk_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ht, tk_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tq_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (ht, tq_p, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
