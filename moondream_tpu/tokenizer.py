@@ -79,6 +79,16 @@ def load_tokenizer(spec: Optional[str] = None) -> TokenizerBase:
     if spec is None or spec == "byte":
         return ByteTokenizer()
     if os.path.exists(spec):
+        if os.environ.get("MOONDREAM_NATIVE_BPE"):
+            # in-repo C++ byte-level BPE (native/bpe.cpp) — parity-tested
+            # against the HF library; opt-in via env
+            from .native_bpe import NativeBPETokenizer, available
+
+            if available():
+                try:
+                    return NativeBPETokenizer.from_file(spec)
+                except ValueError:
+                    pass  # non-byte-level-BPE scheme: fall through to HF
         return HFTokenizer.from_file(spec)
     try:
         return HFTokenizer.from_pretrained(spec)
