@@ -1,0 +1,190 @@
+"""Continuous batching: slot-based serving with per-request positions.
+
+The reference serves strictly one request at a time (its `batch_answer`
+is a Python loop, hf_moondream.py:99-103). This engine is the TPU-native
+serving layer: a fixed pool of KV slots, requests admitted whenever a
+slot is free (each prefilled independently and copied into its slot),
+and ONE fused ragged decode advancing every active request per step —
+per-row positions in RoPE, per-row cache writes, per-row causal masks in
+the Pallas kernel, per-row EOS. Decode steps run in device-side chunks
+so the host syncs once per `chunk` tokens, not once per token.
+
+Pure functions here; `ContinuousBatchingEngine` (models/serve.py) owns
+the host-side scheduling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..models import text as text_ops
+from ..models.text import KVCache
+from ..ops.attention import _use_pallas, attention, decode_attention_cached
+from ..ops.layers import layer_norm, linear, mlp
+from ..ops.rope import apply_rotary_emb
+from .batched import lm_logits_batched, sample_tokens_batched
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _ragged_attn(
+    x: jax.Array,
+    w: dict,
+    freqs_cis: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    layer: jax.Array,
+    pos: jax.Array,  # (S,) per-row positions
+    config: TextConfig,
+    kv_bound: Optional[int],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One ragged decode attention layer: per-row positions everywhere."""
+    bsz = x.shape[0]
+    qkv = linear(x, w["qkv"])
+    q, k, v = text_ops._split_qkv(qkv, config)
+
+    position_ids = pos[:, None]  # (S, 1)
+    q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
+    k = apply_rotary_emb(k, freqs_cis, position_ids, config.rope_dim)
+
+    # per-row cache writes (unrolled over the slot pool; S is small)
+    for s in range(bsz):
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[s : s + 1][None].astype(k_cache.dtype),
+            (layer, s, 0, pos[s], 0),
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[s : s + 1][None].astype(v_cache.dtype),
+            (layer, s, 0, pos[s], 0),
+        )
+
+    if _use_pallas() and not config.xla_attn:
+        out = decode_attention_cached(
+            q, k_cache, v_cache, layer, pos, jnp.int32(0), kv_bound
+        )
+    else:
+        k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        if kv_bound is not None:
+            k_l = k_l[:, :, :kv_bound]
+            v_l = v_l[:, :, :kv_bound]
+        from ..ops.layers import sdpa
+
+        tk = k_l.shape[2]
+        cols = jnp.arange(tk, dtype=jnp.int32)[None, :]
+        mask = (cols <= pos[:, None])[:, None, None, :]  # (S,1,1,Tk)
+        out = sdpa(q, k_l, v_l, mask)
+
+    out = out.transpose(0, 2, 1, 3).reshape(bsz, 1, config.dim)
+    return linear(out, w["proj"]), k_cache, v_cache
+
+
+def ragged_decode_step(
+    text_params: dict,
+    kv: KVCache,
+    tokens: jax.Array,  # (S,)
+    pos: jax.Array,  # (S,)
+    config: TextConfig,
+    kv_bound: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step for the whole slot pool at per-row positions.
+    Returns ((S, V) logits, new cache)."""
+    x = text_params["wte"][tokens][:, None, :]
+
+    def block(carry, layer_in):
+        h, k_cache, v_cache = carry
+        bw, lidx = layer_in
+        ln_in = layer_norm(h, bw["ln"])
+        attn_out, k_cache, v_cache = _ragged_attn(
+            ln_in, bw["attn"], text_params["freqs_cis"], k_cache, v_cache,
+            lidx, pos, config, kv_bound,
+        )
+        mlp_out = mlp(ln_in, bw["mlp"])
+        return (h + attn_out + mlp_out, k_cache, v_cache), None
+
+    xs = (
+        text_params["blocks"],
+        jnp.arange(config.n_layers, dtype=jnp.int32),
+    )
+    (hidden, k_new, v_new), _ = jax.lax.scan(block, (x, kv.k, kv.v), xs)
+    return lm_logits_batched(hidden[:, 0], text_params), KVCache(k_new, v_new)
+
+
+class ServeChunkResult(NamedTuple):
+    tokens: jax.Array  # (S, chunk) int32
+    emitted: jax.Array  # (S, chunk) bool — True where tokens[i,j] is real
+    active: jax.Array  # (S,) bool — active AFTER the chunk
+    pos: jax.Array  # (S,) int32
+    cur: jax.Array  # (S,) int32 — each slot's next input token
+    budget: jax.Array  # (S,) int32 — remaining tokens per slot
+    kv: KVCache
+    rng: jax.Array
+
+
+def serve_chunk(
+    text_params: dict,
+    kv: KVCache,
+    cur_tokens: jax.Array,  # (S,) next input token per slot
+    pos: jax.Array,  # (S,)
+    active: jax.Array,  # (S,) bool
+    budget: jax.Array,  # (S,) int32 remaining tokens per slot
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    chunk: int,
+    kv_bound: Optional[int] = None,
+) -> ServeChunkResult:
+    """Advance every active slot by up to `chunk` tokens in one jitted
+    device loop. Inactive slots hold position (their cache writes land on
+    a frozen slot index and are never attended by others)."""
+    S = cur_tokens.shape[0]
+    toks0 = jnp.zeros((S, chunk), jnp.int32)
+    emit0 = jnp.zeros((S, chunk), jnp.bool_)
+    max_pos = (kv_bound or config.max_context) - 1
+
+    def body(i, c):
+        kv_, cur, pos_, act, bud, rng_, toks, emit = c
+        toks = toks.at[:, i].set(jnp.where(act, cur, 0))
+        emit = emit.at[:, i].set(act)
+
+        logits, kv_ = ragged_decode_step(
+            text_params, kv_, cur, pos_, config, kv_bound
+        )
+        for sid in suppress_ids:
+            logits = logits.at[:, sid].set(NEG_INF)
+        rng_, sub = jax.random.split(rng_)
+        nxt = sample_tokens_batched(logits, sub, temperature, top_p).astype(
+            jnp.int32
+        )
+
+        bud = bud - act.astype(jnp.int32)
+        new_act = act & (nxt != eos_id) & (bud > 0) & (pos_ + 1 < max_pos)
+        pos_ = jnp.where(act, pos_ + 1, pos_)
+        cur = jnp.where(act, nxt, cur)
+        return (kv_, cur, pos_, new_act, bud, rng_, toks, emit)
+
+    kv, cur, pos, active, budget, rng, toks, emit = jax.lax.fori_loop(
+        0, chunk, body,
+        (kv, cur_tokens, pos, active, budget, rng, toks0, emit0),
+    )
+    return ServeChunkResult(
+        tokens=toks, emitted=emit, active=active, pos=pos, cur=cur,
+        budget=budget, kv=kv, rng=rng,
+    )
+
+
+def write_slot(
+    kv_pool: KVCache, k_snap: jax.Array, v_snap: jax.Array, slot: jax.Array
+) -> KVCache:
+    """Copy one request's prefilled KV span into pool slot `slot`.
+    k_snap/v_snap: (L, 1, H, T_span, D)."""
+    k = jax.lax.dynamic_update_slice(kv_pool.k, k_snap, (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(kv_pool.v, v_snap, (0, slot, 0, 0, 0))
+    return KVCache(k, v)

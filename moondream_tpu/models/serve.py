@@ -1,0 +1,190 @@
+"""ContinuousBatchingEngine: host-side scheduler over the slot pool.
+
+New TPU-native serving capability (the reference handles exactly one
+request at a time; SURVEY.md §2.5): requests with different images,
+prompts, and lengths are admitted whenever a slot frees up, prefilled
+independently, and advanced together by fused ragged decode chunks
+(engine/serving.py). One host sync per chunk, not per token.
+
+    eng = ContinuousBatchingEngine(model, n_slots=8)
+    r1 = eng.submit(image1)                          # caption
+    r2 = eng.submit(image2, question="What is it?")  # VQA
+    results = eng.drain()                            # {req_id: text}
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import serving
+from ..models.text import KVCache
+from ..utils.streaming import stream_text
+
+DEFAULT_MAX_TOKENS = 512
+
+
+@dataclass
+class _Slot:
+    req_id: int = -1
+    tokens: List[int] = field(default_factory=list)
+    active: bool = False
+
+
+class ContinuousBatchingEngine:
+    def __init__(
+        self,
+        model,
+        n_slots: int = 8,
+        slot_len: int = 1024,
+        chunk: int = 8,
+        temperature: float = 0.0,
+        top_p: float = 0.0,
+    ):
+        self.model = model
+        self.config = model.config.text
+        self.n_slots = n_slots
+        self.slot_len = min(slot_len, self.config.max_context)
+        self.chunk = chunk
+        self.temperature = temperature
+        self.top_p = top_p
+
+        self.kv = KVCache.create(
+            self.config, batch=n_slots, dtype=model.dtype, slots=self.slot_len
+        )
+        S = n_slots
+        self.cur = jnp.zeros((S,), jnp.int32)
+        self.pos = jnp.zeros((S,), jnp.int32)
+        self.active = jnp.zeros((S,), jnp.bool_)
+        self.budget = jnp.zeros((S,), jnp.int32)
+        self.rng = jax.random.PRNGKey(0)
+
+        self.slots = [_Slot() for _ in range(S)]
+        self.results: Dict[int, str] = {}
+        self._next_req = 0
+        self._jits: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------- internal
+    def _chunk_fn(self):
+        key = ("chunk", self.chunk)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(
+                    serving.serve_chunk,
+                    config=self.config,
+                    eos_id=self.model.config.tokenizer.eos_id,
+                    suppress_ids=(self.model.config.tokenizer.answer_id,),
+                    chunk=self.chunk,
+                    kv_bound=self.slot_len,
+                ),
+                donate_argnums=(1,),
+            )
+            self._jits[key] = fn
+        return fn
+
+    def _write_slot_fn(self, span: int):
+        key = ("write", span)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(serving.write_slot, donate_argnums=(0,))
+            self._jits[key] = fn
+        return fn
+
+    def free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self.slots) if not s.active]
+
+    # --------------------------------------------------------------- public
+    def submit(
+        self,
+        image,
+        question: Optional[str] = None,
+        caption_length: str = "normal",
+        max_tokens: int = DEFAULT_MAX_TOKENS,
+    ) -> int:
+        """Admit one request (caption by default; VQA when `question` is
+        given). Blocks stepping the pool only for this request's prefill.
+        Raises RuntimeError when no slot is free — call step() first."""
+        free = self.free_slots()
+        if not free:
+            raise RuntimeError("no free slot; step() or drain() first")
+        slot = free[0]
+        model = self.model
+        tok_cfg = model.config.tokenizer
+
+        enc = model.encode_image(image)
+        kv1 = model.load_encoded_image(enc)
+        if question is None:
+            prompt = list(tok_cfg.templates["caption"][caption_length])
+        else:
+            t = tok_cfg.templates["query"]
+            prompt = (
+                list(t["prefix"])
+                + model._encode_text(question)
+                + list(t["suffix"])
+            )
+        _, _, next_token, pos, kv1 = model._prefill_prompt(
+            kv1, prompt, enc.pos, self.temperature, self.top_p
+        )
+
+        span = model._kv_bound(pos) or self.config.max_context
+        span = min(span, self.slot_len)
+        k_snap = kv1.k[:, :, :, :span, :]
+        v_snap = kv1.v[:, :, :, :span, :]
+        self.kv = self._write_slot_fn(span)(
+            self.kv, k_snap, v_snap, jnp.int32(slot)
+        )
+        model._recycle_kv(kv1)
+
+        req_id = self._next_req
+        self._next_req += 1
+        self.slots[slot] = _Slot(req_id=req_id, tokens=[], active=True)
+        self.cur = self.cur.at[slot].set(next_token[()])
+        self.pos = self.pos.at[slot].set(pos)
+        self.active = self.active.at[slot].set(True)
+        self.budget = self.budget.at[slot].set(max_tokens)
+        return req_id
+
+    def step(self) -> List[int]:
+        """Advance all active slots by one chunk. Returns req_ids finished
+        in this step."""
+        if not any(s.active for s in self.slots):
+            return []
+        res = self._chunk_fn()(
+            self.model.params["text"], self.kv, self.cur, self.pos,
+            self.active, self.budget, self.rng,
+            jnp.float32(self.temperature), jnp.float32(self.top_p),
+        )
+        self.kv, self.rng = res.kv, res.rng
+        self.cur, self.pos = res.cur, res.pos
+        self.active, self.budget = res.active, res.budget
+        # one host sync for the whole chunk
+        toks = np.asarray(res.tokens)
+        emitted_mask = np.asarray(res.emitted)
+        still_active = np.asarray(res.active)
+
+        finished = []
+        for i, slot in enumerate(self.slots):
+            if not slot.active:
+                continue
+            emitted = [int(t) for t, e in zip(toks[i], emitted_mask[i]) if e]
+            slot.tokens.extend(emitted)
+            if not still_active[i]:
+                slot.active = False
+                self.results[slot.req_id] = "".join(
+                    stream_text(slot.tokens, self.model._decode_tokens)
+                )
+                finished.append(slot.req_id)
+        return finished
+
+    def drain(self) -> Dict[int, str]:
+        """Step until every admitted request completes; returns all
+        results accumulated so far."""
+        while any(s.active for s in self.slots):
+            self.step()
+        return dict(self.results)

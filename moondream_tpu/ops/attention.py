@@ -339,14 +339,25 @@ def decode_attention_cached(
         ht //= 2
     kv_ht = max(1, ht // rep)
 
-    scalars = jnp.asarray([pos, prefix, layer], jnp.int32)
+    ragged = hasattr(pos, "ndim") and getattr(pos, "ndim", 0) == 1
+    if ragged:
+        scalars = jnp.concatenate(
+            [
+                jnp.asarray([prefix, layer], jnp.int32),
+                jnp.asarray(pos, jnp.int32),
+            ]
+        )
+        layer_slot = 1
+    else:
+        scalars = jnp.asarray([pos, prefix, layer], jnp.int32)
+        layer_slot = 2
     qf = q.reshape(b * hq, 1, d)
     n_tiles = (b * hq) // ht
 
     def kv_index(i, s):
         bi = (i * ht) // hq
         h0 = (i * ht) % hq
-        return (s[2], bi, (h0 // rep) // kv_ht, 0, 0)
+        return (s[layer_slot], bi, (h0 // rep) // kv_ht, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -363,9 +374,13 @@ def decode_attention_cached(
         ),
     )
 
-    kernel = _decode_kernel_stacked if rep == 1 else functools.partial(
-        _decode_kernel_stacked_gqa, rep=rep
-    )
+    if ragged:
+        assert rep == 1, "ragged decode assumes MHA (both model configs)"
+        kernel = functools.partial(_decode_kernel_stacked_ragged, ht=ht, hq=hq)
+    elif rep == 1:
+        kernel = _decode_kernel_stacked
+    else:
+        kernel = functools.partial(_decode_kernel_stacked_gqa, rep=rep)
     out = pl.pallas_call(
         functools.partial(kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b * hq, 1, d), q.dtype),
@@ -392,6 +407,38 @@ def _decode_kernel_stacked(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (HT, 1, T)
+    s = s * scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    s = jnp.where(mask, s, jnp.float32(-1e30))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _decode_kernel_stacked_ragged(
+    scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale, ht, hq
+):
+    """Per-row-position variant for continuous batching: scalars =
+    [prefix, layer, pos_0, ..., pos_{B-1}]; this program's batch row is
+    derived from the program index."""
+    prefix = scalars_ref[0]
+    i = pl.program_id(0)
+    bi = (i * ht) // hq
+    pos = scalars_ref[2 + bi]
+
+    q = q_ref[...]  # (HT, 1, D)
+    k = k_ref[0, 0]  # (HT, T, D)
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     s = s * scale
     cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))

@@ -42,7 +42,8 @@ def apply_rotary_emb(
     """Rotate the leading `rot_dim` channels of each head.
 
     x: (B, H, T, head_dim); freqs_cis: (max_ctx, rot_dim//2, 2);
-    position_ids: (T,) int32. Reference rope.py:20-48.
+    position_ids: (T,) int32 shared across the batch, or (B, T) per-row
+    (ragged continuous-batching decode). Reference rope.py:20-48.
     """
     assert rot_dim == freqs_cis.shape[-2] * 2
 
@@ -51,8 +52,12 @@ def apply_rotary_emb(
     xr = x_rot[..., :half].astype(jnp.float32)
     xi = x_rot[..., half:].astype(jnp.float32)
 
-    cos = freqs_cis[position_ids, :, 0][None, None, :, :]  # (1,1,T,half)
-    sin = freqs_cis[position_ids, :, 1][None, None, :, :]
+    if position_ids.ndim == 2:  # (B, T): per-row positions
+        cos = freqs_cis[position_ids, :, 0][:, None, :, :]  # (B,1,T,half)
+        sin = freqs_cis[position_ids, :, 1][:, None, :, :]
+    else:
+        cos = freqs_cis[position_ids, :, 0][None, None, :, :]  # (1,1,T,half)
+        sin = freqs_cis[position_ids, :, 1][None, None, :, :]
 
     out_r = xr * cos - xi * sin
     out_i = xr * sin + xi * cos

@@ -64,7 +64,9 @@ class ByteTokenizer(TokenizerBase):
         return [b + self.offset for b in text.encode("utf-8")]
 
     def decode(self, ids: Sequence[int]) -> str:
-        data = bytes(i - self.offset for i in ids if i >= self.offset)
+        # total over any vocab: ids beyond offset+255 (possible when a
+        # big-vocab model runs with random weights) fold into byte range
+        data = bytes((i - self.offset) % 256 for i in ids if i >= self.offset)
         return data.decode("utf-8", errors="ignore")
 
 

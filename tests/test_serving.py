@@ -1,0 +1,95 @@
+"""Continuous batching engine tests: ragged decode parity with the
+sequential engine, staggered admission, slot reuse, budgets."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from moondream_tpu.config import tiny_test_config
+from moondream_tpu.models.moondream import MoondreamModel
+from moondream_tpu.models.serve import ContinuousBatchingEngine
+from moondream_tpu.tokenizer import ByteTokenizer
+from moondream_tpu.utils.streaming import stream_text
+
+GREEDY = {"temperature": 0.0, "top_p": 0.0}
+
+
+@pytest.fixture(scope="module")
+def model():
+    return MoondreamModel(tiny_test_config(), tokenizer=ByteTokenizer(), seed=0)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(0)
+    return [
+        Image.fromarray(rng.integers(0, 255, (80 + 16 * i, 100, 3), np.uint8))
+        for i in range(3)
+    ]
+
+
+def _sequential_caption(model, image, max_tokens):
+    enc = model.encode_image(image)
+    kv = model.load_encoded_image(enc)
+    prompt = list(model.config.tokenizer.templates["caption"]["normal"])
+    _, _, next_token, pos, kv = model._prefill_prompt(kv, prompt, enc.pos, 0.0, 0.0)
+    toks = model._generate_answer_tokens(
+        kv, next_token, pos, {**GREEDY, "max_tokens": max_tokens}
+    )
+    return "".join(stream_text(toks, model._decode_tokens))
+
+
+def _sequential_query(model, image, question, max_tokens):
+    return model.query(
+        image=image, question=question,
+        settings={**GREEDY, "max_tokens": max_tokens},
+    )["answer"]
+
+
+def test_single_request_matches_sequential(model, images):
+    ref = _sequential_caption(model, images[0], 12)
+    eng = ContinuousBatchingEngine(model, n_slots=2, slot_len=1024, chunk=4)
+    rid = eng.submit(images[0], max_tokens=12)
+    out = eng.drain()
+    assert out[rid] == ref
+
+
+def test_staggered_mixed_requests_match_sequential(model, images):
+    refs = [
+        _sequential_caption(model, images[0], 10),
+        _sequential_query(model, images[1], "what?", 10),
+        _sequential_caption(model, images[2], 10),
+    ]
+    eng = ContinuousBatchingEngine(model, n_slots=3, slot_len=1024, chunk=3)
+    r0 = eng.submit(images[0], max_tokens=10)
+    eng.step()  # r0 alone for one chunk
+    r1 = eng.submit(images[1], question="what?", max_tokens=10)
+    eng.step()
+    r2 = eng.submit(images[2], max_tokens=10)
+    out = eng.drain()
+    assert out[r0] == refs[0]
+    assert out[r1] == refs[1]
+    assert out[r2] == refs[2]
+
+
+def test_slot_reuse_and_backpressure(model, images):
+    eng = ContinuousBatchingEngine(model, n_slots=1, slot_len=1024, chunk=4)
+    r0 = eng.submit(images[0], max_tokens=6)
+    with pytest.raises(RuntimeError):
+        eng.submit(images[1], max_tokens=6)
+    eng.drain()
+    r1 = eng.submit(images[1], max_tokens=6)  # slot freed
+    out = eng.drain()
+    assert r0 in out and r1 in out
+    assert out[r0] == _sequential_caption(model, images[0], 6)
+    assert out[r1] == _sequential_caption(model, images[1], 6)
+
+
+def test_budget_respected(model, images):
+    eng = ContinuousBatchingEngine(model, n_slots=2, slot_len=1024, chunk=8)
+    rid = eng.submit(images[0], max_tokens=5)
+    eng.drain()
+    assert len(eng.slots[0].tokens) <= 5
+    assert rid in eng.results
