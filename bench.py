@@ -32,6 +32,9 @@ def main():
                         help="decode length per image (typical caption length)")
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--profile", default="",
+                        help="write a jax.profiler trace of one caption to "
+                             "this directory (view with tensorboard/xprof)")
     parser.add_argument("--batch", type=int, default=8,
                         help="batch size for the throughput (lockstep) config. "
                              "8 fits v5e-1 HBM alongside the bf16 2B weights; "
@@ -115,6 +118,11 @@ def main():
     for i in range(args.warmup):
         one_caption()
         log(f"  warmup {i}: cumulative {time.perf_counter() - t0:.1f}s")
+
+    if args.profile:
+        log(f"tracing one caption to {args.profile}...")
+        with jax.profiler.trace(args.profile):
+            one_caption()
 
     log("timing encode...")
     # fetch one element to force full completion: block_until_ready alone
