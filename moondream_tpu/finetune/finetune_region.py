@@ -97,7 +97,9 @@ def build_class_example(model: MoondreamModel, img_emb, class_name, boxes):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--model", type=str, default=None,
+                        help="checkpoint; omit for random weights (only "
+                             "sensible with --synthetic smoke runs)")
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--tokenizer", type=str, default=None)
     parser.add_argument("--epochs", type=int, default=EPOCHS)
@@ -105,14 +107,15 @@ def main():
     parser.add_argument("--grad-accum", type=int, default=GRAD_ACCUM_STEPS)
     parser.add_argument("--save", type=str, default="moondream_region_finetune.safetensors")
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on N synthetic box samples instead of "
+                             "the HF dataset (offline smoke run)")
     args = parser.parse_args()
 
-    from datasets import load_dataset
+    from . import resolve_config
 
-    config = (
-        MoondreamConfig.from_json(args.config) if args.config else MoondreamConfig()
-    )
-    params = load_params(args.model, config)
+    config = resolve_config(args.config)
+    params = load_params(args.model, config) if args.model else None
     model = MoondreamModel(config, params=params, tokenizer=load_tokenizer(args.tokenizer))
 
     if args.wandb:
@@ -121,7 +124,28 @@ def main():
         wandb.init(project="moondream-tpu-ft-region",
                    config={"EPOCHS": args.epochs, "LR": args.lr})
 
-    dataset = load_dataset("moondream/waste_detection", split="train").shuffle(seed=111)
+    if args.synthetic:
+        import numpy as _np
+        from PIL import Image as _Image
+
+        _rng = _np.random.default_rng(0)
+        dataset = [
+            {
+                "image": _Image.fromarray(
+                    _rng.integers(0, 255, (378, 378, 3), _np.uint8)
+                ),
+                # normalized [xc, yc, w, h], the build_class_example format
+                "boxes": [[0.4 + 0.01 * k, 0.5, 0.3, 0.4]],
+                "labels": ["widget"],
+            }
+            for k in range(args.synthetic)
+        ]
+    else:
+        from datasets import load_dataset
+
+        dataset = load_dataset(
+            "moondream/waste_detection", split="train"
+        ).shuffle(seed=111)
     total_steps = args.epochs * len(dataset) // args.grad_accum
     sched = lr_schedule(args.lr)
 
@@ -135,7 +159,9 @@ def main():
     cfg = config.text
 
     @jax.jit
-    def train_step(region_params, opt_state, batch):
+    def train_step(region_params, text_params, opt_state, batch):
+        # text_params rides as an argument: closing over it would bake
+        # ~1GB of frozen weights into the compiled program as constants
         def loss_fn(rp):
             hidden = text_ops.produce_hidden(batch["inputs_embeds"], text_params, cfg)
             return region_loss(
@@ -160,7 +186,7 @@ def main():
             for class_name, boxes in boxes_by_class.items():
                 batch = build_class_example(model, img_emb, class_name, boxes)
                 region_params, opt_state, loss = train_step(
-                    region_params, opt_state, batch
+                    region_params, text_params, opt_state, batch
                 )
                 model.params["region"] = region_params
 

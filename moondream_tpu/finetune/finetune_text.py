@@ -78,7 +78,9 @@ def build_example(model: MoondreamModel, image, question: str, answer: str):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--model", type=str, default=None,
+                        help="checkpoint; omit for random weights (only "
+                             "sensible with --synthetic smoke runs)")
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--tokenizer", type=str, default=None)
     parser.add_argument("--dataset", type=str, default="google/docci")
@@ -90,14 +92,15 @@ def main():
                         help="orbax checkpoint every N optimizer steps")
     parser.add_argument("--ckpt-dir", type=str, default="checkpoints")
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on N synthetic image/caption pairs "
+                             "instead of a HF dataset (offline smoke run)")
     args = parser.parse_args()
 
-    from datasets import load_dataset
+    from . import resolve_config
 
-    config = (
-        MoondreamConfig.from_json(args.config) if args.config else MoondreamConfig()
-    )
-    params = load_params(args.model, config)
+    config = resolve_config(args.config)
+    params = load_params(args.model, config) if args.model else None
     model = MoondreamModel(config, params=params, tokenizer=load_tokenizer(args.tokenizer))
 
     if args.wandb:
@@ -109,7 +112,24 @@ def main():
                     "LR": args.lr},
         )
 
-    dataset = load_dataset(args.dataset, trust_remote_code=True)["train"]
+    if args.synthetic:
+        import numpy as _np
+        from PIL import Image as _Image
+
+        _rng = _np.random.default_rng(0)
+        dataset = [
+            {
+                "image": _Image.fromarray(
+                    _rng.integers(0, 255, (378, 378, 3), _np.uint8)
+                ),
+                "description": f"synthetic sample number {k}",
+            }
+            for k in range(args.synthetic)
+        ]
+    else:
+        from datasets import load_dataset
+
+        dataset = load_dataset(args.dataset, trust_remote_code=True)["train"]
     total_steps = args.epochs * len(dataset) // args.grad_accum
     sched = lr_schedule(args.lr)
 

@@ -99,17 +99,19 @@ def region_loss(
     from ..models.region import decode_coordinate
     from ..ops.layers import mlp
 
-    l_idx = jnp.arange(labels.shape[0])
+    # interleaved [x, y, w, h] per box -> static splits (boolean-mask
+    # indexing is not jittable; this loss runs inside the jitted train step)
+    per_box = labels.reshape(-1, 4)
+    c_labels = per_box[:, :2].reshape(-1)
+    s_labels = per_box[:, 2:].reshape(-1)
 
     c_hidden = hidden[:, c_idx - 1, :]
     c_logits = decode_coordinate(c_hidden, region_params).reshape(-1, 1024)
-    c_labels = labels[(l_idx % 4) < 2]
     c_logp = jax.nn.log_softmax(c_logits.astype(jnp.float32), axis=-1)
     c_loss = -jnp.mean(jnp.take_along_axis(c_logp, c_labels[:, None], axis=-1))
 
     s_hidden = hidden[:, s_idx - 1, :]
     s_logits = mlp(s_hidden, region_params["size_decoder"]).reshape(-1, 1024)
-    s_labels = labels[(l_idx % 4) >= 2]
     s_logp = jax.nn.log_softmax(s_logits.astype(jnp.float32), axis=-1)
     s_loss = -jnp.mean(jnp.take_along_axis(s_logp, s_labels[:, None], axis=-1))
 

@@ -150,6 +150,58 @@ class ContinuousBatchingEngine:
         self.budget = self.budget.at[slot].set(max_tokens)
         return req_id
 
+    def submit_many(
+        self,
+        images,
+        question: Optional[str] = None,
+        caption_length: str = "normal",
+        max_tokens: int = DEFAULT_MAX_TOKENS,
+    ) -> List[int]:
+        """Admit a burst of requests with ONE batched image encode
+        (`encode_images`) instead of per-request ViT calls. All requests
+        share the same prompt kind. Requires enough free slots."""
+        free = self.free_slots()
+        if len(free) < len(images):
+            raise RuntimeError(
+                f"{len(images)} requests but only {len(free)} free slots"
+            )
+        model = self.model
+        tok_cfg = model.config.tokenizer
+        encs = model.encode_images(list(images))
+        if question is None:
+            prompt = list(tok_cfg.templates["caption"][caption_length])
+        else:
+            t = tok_cfg.templates["query"]
+            prompt = (
+                list(t["prefix"])
+                + model._encode_text(question)
+                + list(t["suffix"])
+            )
+
+        req_ids = []
+        for enc, slot in zip(encs, free):
+            kv1 = model.load_encoded_image(enc)
+            _, _, next_token, pos, kv1 = model._prefill_prompt(
+                kv1, prompt, enc.pos, self.temperature, self.top_p
+            )
+            span = model._kv_bound(pos) or self.config.max_context
+            span = min(span, self.slot_len)
+            self.kv = self._write_slot_fn(span)(
+                self.kv, kv1.k[:, :, :, :span, :], kv1.v[:, :, :, :span, :],
+                jnp.int32(slot),
+            )
+            model._recycle_kv(kv1)
+
+            req_id = self._next_req
+            self._next_req += 1
+            self.slots[slot] = _Slot(req_id=req_id, tokens=[], active=True)
+            self.cur = self.cur.at[slot].set(next_token[()])
+            self.pos = self.pos.at[slot].set(pos)
+            self.active = self.active.at[slot].set(True)
+            self.budget = self.budget.at[slot].set(max_tokens)
+            req_ids.append(req_id)
+        return req_ids
+
     def step(self) -> List[int]:
         """Advance all active slots by one chunk. Returns req_ids finished
         in this step."""

@@ -93,3 +93,16 @@ def test_budget_respected(model, images):
     eng.drain()
     assert len(eng.slots[0].tokens) <= 5
     assert rid in eng.results
+
+
+def test_submit_many_matches_sequential(model, images):
+    refs = [_sequential_caption(model, im, 8) for im in images]
+    eng = ContinuousBatchingEngine(model, n_slots=4, slot_len=1024, chunk=4)
+    rids = eng.submit_many(images, max_tokens=8)
+    out = eng.drain()
+    for rid, ref in zip(rids, refs):
+        assert out[rid] == ref
+
+    with pytest.raises(RuntimeError):
+        # 4 slots, 3 now free? all finished -> 4 free; ask for 5
+        eng.submit_many(images + images[:2], max_tokens=4)
