@@ -400,6 +400,25 @@ class MoondreamModel:
         self._recycle_kv(kv)
         return enc
 
+    def compile(self) -> "MoondreamModel":
+        """Pre-compile the hot paths (API parity with reference
+        moondream.py:194-204, which wraps torch.compile). Under JAX every
+        path jit-compiles on first use; this runs one tiny dummy request
+        through encode / caption / query / detect / point so first real
+        requests don't pay compile time. Larger crop tilings still compile
+        on first encounter (shapes are bucketed)."""
+        from PIL import Image as PILImage
+
+        dummy = PILImage.new("RGB", (self.config.vision.crop_size,) * 2)
+        s = {"max_tokens": 2, "temperature": 0.0, "top_p": 0.0,
+             "max_objects": 2}
+        enc = self.encode_image(dummy)
+        self.caption(enc, "normal", settings=s)
+        self.query(image=enc, question="?", settings=s)
+        self.detect(enc, "x", settings=s)
+        self.point(enc, "x", settings=s)
+        return self
+
     def load_encoded_image(self, encoded: EncodedImage) -> KVCache:
         """Materialize a working KV cache from a snapshot (functional analog
         of reference moondream.py:620-623). Reuses a pooled buffer when one

@@ -138,3 +138,15 @@ def test_encoded_image_reuse(model, image):
     a = model.caption(enc, "normal", settings=GREEDY)["caption"]
     b = model.caption(enc, "normal", settings=GREEDY)["caption"]
     assert a == b
+
+
+def test_compile_warms_hot_paths(model):
+    """compile() runs every capability once and is idempotent (API parity
+    with reference moondream.py:194-204)."""
+    n_before = len(model._jits)
+    assert model.compile() is model
+    assert len(model._jits) >= n_before
+    # cached: second call must not grow the jit table
+    n_mid = len(model._jits)
+    model.compile()
+    assert len(model._jits) == n_mid
