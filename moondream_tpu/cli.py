@@ -19,8 +19,11 @@ import time
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--image", "-i", type=str, required=True)
-    parser.add_argument("--prompt", "-p", type=str, required=True)
+    parser.add_argument("--image", "-i", type=str, default=None)
+    parser.add_argument("--prompt", "-p", type=str, default=None)
+    parser.add_argument("--demo", action="store_true",
+                        help="run every capability once on --image (or a "
+                             "generated test image); no prompt needed")
     parser.add_argument("--model", "-m", type=str, default=None,
                         help="checkpoint path (omit for random weights)")
     parser.add_argument("--config", "-c", type=str, default=None)
@@ -43,9 +46,9 @@ def main():
 
     print(f"Devices: {jax.devices()}")
 
-    config = (
-        MoondreamConfig.from_json(args.config) if args.config else MoondreamConfig()
-    )
+    from .finetune import resolve_config
+
+    config = resolve_config(args.config)  # None/'2b'/'05b' or a JSON path
     params = (
         load_params(args.model, config, runtime_int4=args.int4)
         if args.model
@@ -62,9 +65,25 @@ def main():
             **model.params, "text": quantize_text_params(model.params["text"])
         }
 
-    if not os.path.exists(args.image):
-        raise FileNotFoundError(f"Image not found at {args.image}")
-    image = Image.open(args.image)
+    if args.image:
+        if not os.path.exists(args.image):
+            raise FileNotFoundError(f"Image not found at {args.image}")
+        image = Image.open(args.image)
+    elif args.demo:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        arr[160:320, 220:420] = (250, 250, 250)  # a "white square" to find
+        image = Image.fromarray(arr)
+        print("(no --image given: using a generated test image)")
+    else:
+        parser.error("--image is required unless --demo is given")
+
+    if args.prompt is None:
+        if not args.demo:
+            parser.error("--prompt is required unless --demo is given")
+        args.prompt = "What is the white shape in this image?"
 
     settings = {"max_tokens": args.max_tokens}
     if args.sampler == "greedy":
