@@ -349,25 +349,74 @@ class MoondreamModel:
         return self.tokenizer.decode([int(i) for i in ids])
 
     # --------------------------------------------------------------- vision
+    def _device_preprocess_fn(self, shape, tiling):
+        """Jitted whole-image -> padded crop stack on device (the opt-in
+        two-matmul Lanczos path, ops.device_preprocess)."""
+        from ..ops.device_preprocess import device_overlap_crops
+
+        cfg = self.config.vision
+        n = tiling[0] * tiling[1] + 1
+        b = _bucket(n)
+
+        def build():
+            def run(image_u8):
+                crops = device_overlap_crops(
+                    image_u8, tiling, cfg.crop_size, cfg.enc_patch_size,
+                    cfg.overlap_margin,
+                )
+                if b > n:
+                    crops = jnp.concatenate(
+                        [crops, jnp.zeros((b - n, *crops.shape[1:]),
+                                          crops.dtype)], axis=0
+                    )
+                return crops
+
+            return jax.jit(run)
+
+        return self._jit(("dev_pre", shape, tiling), build)
+
     def _run_vision_encoder(self, image) -> jax.Array:
         """PIL image -> (729, text_dim) projected image embedding
-        (reference moondream.py:206-228)."""
+        (reference moondream.py:206-228).
+
+        MOONDREAM_DEVICE_PREPROCESS=1 moves the Lanczos resize + tile
+        extraction onto the TPU (two MXU matmuls per resize) — an opt-in
+        throughput path for fixed-resolution streams; the host path (bit
+        -exact C++/PIL) remains the parity default."""
+        import os as _os
+
         cfg = self.config.vision
         np_image = np.asarray(image.convert("RGB"))
-        crops_out = overlap_crop_image(
-            np_image, overlap_margin=cfg.overlap_margin, max_crops=cfg.max_crops
-        )
-        crops = crops_out["crops"]
-        tiling = tuple(crops_out["tiling"])
 
-        n = crops.shape[0]
-        b = _bucket(n)
-        if b > n:
-            crops = np.concatenate(
-                [crops, np.zeros((b - n, *crops.shape[1:]), crops.dtype)], axis=0
+        if _os.environ.get("MOONDREAM_DEVICE_PREPROCESS"):
+            from ..ops.device_preprocess import preprocess_tiling
+
+            tiling = preprocess_tiling(
+                np_image.shape[0], np_image.shape[1], cfg.crop_size,
+                cfg.enc_patch_size, cfg.overlap_margin, cfg.max_crops,
             )
+            n = tiling[0] * tiling[1] + 1
+            crops_dev = self._device_preprocess_fn(np_image.shape, tiling)(
+                jnp.asarray(np_image)
+            )
+            feats = self._vis_enc_fn()(self.params["vision"], crops_dev)
+        else:
+            crops_out = overlap_crop_image(
+                np_image, overlap_margin=cfg.overlap_margin,
+                max_crops=cfg.max_crops,
+            )
+            crops = crops_out["crops"]
+            tiling = tuple(crops_out["tiling"])
 
-        feats = self._vis_enc_fn()(self.params["vision"], jnp.asarray(crops))
+            n = crops.shape[0]
+            b = _bucket(n)
+            if b > n:
+                crops = np.concatenate(
+                    [crops, np.zeros((b - n, *crops.shape[1:]), crops.dtype)],
+                    axis=0,
+                )
+            feats = self._vis_enc_fn()(self.params["vision"], jnp.asarray(crops))
+
         global_feats = feats[0]
         local_feats = feats[1:n]
         return self._stitch_proj_fn(tiling)(
