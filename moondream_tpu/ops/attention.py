@@ -116,6 +116,8 @@ def flash_attention(
     per_head = 2 * (tq_p + 2 * tk_p + tq_p) * d_pad * 2 + tq_p * tk_p * 4
     ht = max(1, (10 * 1024 * 1024) // per_head)
     ht = min(b * h, 1 << (ht.bit_length() - 1))
+    if os.environ.get("MOONDREAM_FLASH_HT"):
+        ht = int(os.environ["MOONDREAM_FLASH_HT"])
     while (b * h) % ht:
         ht //= 2
 
