@@ -39,7 +39,6 @@ def main():
     import jax
     from PIL import Image, ImageDraw
 
-    from .config import MoondreamConfig
     from .models.moondream import MoondreamModel
     from .tokenizer import load_tokenizer
     from .weights import load_params

@@ -24,14 +24,13 @@ import numpy as np
 import optax
 from tqdm import tqdm
 
-from ..config import MoondreamConfig
 from ..models import region as region_ops
 from ..models import text as text_ops
 from ..models.moondream import MoondreamModel
 from ..tokenizer import load_tokenizer
 from ..weights import load_params
 from .finetune_text import save_params
-from .trainer import lr_schedule, region_loss, size_to_bin
+from .trainer import lr_schedule, region_loss
 
 LR = 5e-5
 EPOCHS = 2

@@ -17,7 +17,6 @@ and optional dp x tp mesh sharding (--mesh dp=2,tp=4).
 from __future__ import annotations
 
 import argparse
-import math
 import os
 
 import jax
@@ -26,8 +25,6 @@ import numpy as np
 import optax
 from tqdm import tqdm
 
-from ..config import MoondreamConfig
-from ..models import text as text_ops
 from ..models.moondream import MoondreamModel
 from ..tokenizer import load_tokenizer
 from ..weights import load_params

@@ -20,7 +20,6 @@ reference can only save final weights, finetune_text.py:152-155).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 

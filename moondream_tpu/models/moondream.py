@@ -20,10 +20,9 @@ TPU-native architecture (not a port):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, List, Literal, Optional, Tuple, Union
+from typing import Any, Dict, List, Literal, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -864,7 +863,6 @@ class MoondreamModel:
         hf_moondream.py:99-103)."""
         from collections import defaultdict
 
-        from ..engine import batched as batched_engine
 
         cfg = self.config.vision
         lora = self._variant(settings)

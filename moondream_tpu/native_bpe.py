@@ -20,7 +20,7 @@ import ctypes
 import json
 import os
 import threading
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from .tokenizer import TokenizerBase
 

@@ -25,7 +25,6 @@ point for a channel-planar kernel. The resize matrices are cached per
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 from typing import Tuple
 

@@ -22,7 +22,7 @@ Conversion rules into the TPU layout:
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
