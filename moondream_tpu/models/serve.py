@@ -215,10 +215,11 @@ class ContinuousBatchingEngine:
         self.kv, self.rng = res.kv, res.rng
         self.cur, self.pos = res.cur, res.pos
         self.active, self.budget = res.active, res.budget
-        # one host sync for the whole chunk
-        toks = np.asarray(res.tokens)
-        emitted_mask = np.asarray(res.emitted)
-        still_active = np.asarray(res.active)
+        # ONE host transfer for the whole chunk (separate np.asarray calls
+        # would each pay the tunnel's round-trip jitter)
+        toks, emitted_mask, still_active = jax.device_get(
+            (res.tokens, res.emitted, res.active)
+        )
 
         finished = []
         for i, slot in enumerate(self.slots):
