@@ -26,13 +26,14 @@ def main():
 
     from PIL import Image
 
-    from moondream_tpu.config import MoondreamConfig
+    from moondream_tpu.config import MoondreamConfig  # noqa: F401
+    from moondream_tpu.finetune import resolve_config
     from moondream_tpu.models.moondream import MoondreamModel
     from moondream_tpu.tokenizer import load_tokenizer
     from moondream_tpu.weights import load_params
 
     config = (
-        MoondreamConfig.from_json(args.config) if args.config else MoondreamConfig()
+        resolve_config(args.config)
     )
     params = load_params(args.model, config) if args.model else None
     model = MoondreamModel(config, params=params, tokenizer=load_tokenizer())
