@@ -32,6 +32,10 @@ def main():
                         help="decode length per image (typical caption length)")
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--int4", action="store_true",
+                        help="serve text weights packed int4 (fused dequant "
+                             "kernel); frees ~1.9GB HBM so --batch 16 fits "
+                             "(measured 2.83 images/s vs 2.6 at bf16 B=8)")
     parser.add_argument("--profile", default="",
                         help="write a jax.profiler trace of one caption to "
                              "this directory (view with tensorboard/xprof)")
@@ -68,6 +72,13 @@ def main():
     log(f"building {args.config} model (random weights, bf16)...")
     t0 = time.perf_counter()
     model = MoondreamModel(config, tokenizer=ByteTokenizer(), seed=0)
+    if args.int4:
+        from moondream_tpu.models.text import quantize_text_params
+
+        model.params = {
+            **model.params, "text": quantize_text_params(model.params["text"])
+        }
+        log("text weights quantized to runtime int4")
     jax.block_until_ready(model.params["text"]["wte"])
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
