@@ -41,10 +41,14 @@ def _ragged_attn(
     pos: jax.Array,  # (S,) per-row positions
     config: TextConfig,
     kv_bound: Optional[int],
+    quant: Optional[dict] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One ragged decode attention layer: per-row positions everywhere."""
     bsz = x.shape[0]
-    qkv = linear(x, w["qkv"])
+    if quant is not None:
+        qkv = text_ops._q_lin(x, quant["qkv"], w["qkv"]["b"], layer)
+    else:
+        qkv = linear(x, w["qkv"])
     q, k, v = text_ops._split_qkv(qkv, config)
 
     position_ids = pos[:, None]  # (S, 1)
@@ -80,7 +84,11 @@ def _ragged_attn(
         out = sdpa(q, k_l, v_l, mask)
 
     out = out.transpose(0, 2, 1, 3).reshape(bsz, 1, config.dim)
-    return linear(out, w["proj"]), k_cache, v_cache
+    if quant is not None:
+        out = text_ops._q_lin(out, quant["proj"], w["proj"]["b"], layer)
+    else:
+        out = linear(out, w["proj"])
+    return out, k_cache, v_cache
 
 
 def ragged_decode_step(
@@ -94,6 +102,7 @@ def ragged_decode_step(
     """One decode step for the whole slot pool at per-row positions.
     Returns ((S, V) logits, new cache)."""
     x = text_params["wte"][tokens][:, None, :]
+    blocks_q = text_params.get("blocks_q")  # int4 runtime weights (closure)
 
     def block(carry, layer_in):
         h, k_cache, v_cache = carry
@@ -102,8 +111,20 @@ def ragged_decode_step(
         attn_out, k_cache, v_cache = _ragged_attn(
             ln_in, bw["attn"], text_params["freqs_cis"], k_cache, v_cache,
             lidx, pos, config, kv_bound,
+            quant=blocks_q["attn"] if blocks_q else None,
         )
-        mlp_out = mlp(ln_in, bw["mlp"])
+        if blocks_q is not None:
+            from ..ops.layers import gelu_approx
+
+            m = text_ops._q_lin(
+                ln_in, blocks_q["mlp"]["fc1"], bw["mlp"]["fc1"]["b"], lidx
+            )
+            mlp_out = text_ops._q_lin(
+                gelu_approx(m), blocks_q["mlp"]["fc2"], bw["mlp"]["fc2"]["b"],
+                lidx,
+            )
+        else:
+            mlp_out = mlp(ln_in, bw["mlp"])
         return (h + attn_out + mlp_out, k_cache, v_cache), None
 
     xs = (

@@ -106,3 +106,21 @@ def test_submit_many_matches_sequential(model, images):
     with pytest.raises(RuntimeError):
         # 4 slots, 3 now free? all finished -> 4 free; ask for 5
         eng.submit_many(images + images[:2], max_tokens=4)
+
+
+def test_serving_with_int4_model(images):
+    """Continuous batching over a runtime-int4 model matches the int4
+    sequential engine (both quantized: same weights, same rounding)."""
+    from moondream_tpu.models.text import quantize_text_params
+
+    base = MoondreamModel(tiny_test_config(), tokenizer=ByteTokenizer(), seed=0)
+    qmodel = MoondreamModel(
+        tiny_test_config(),
+        params={**base.params, "text": quantize_text_params(base.params["text"])},
+        tokenizer=ByteTokenizer(),
+    )
+    ref = _sequential_caption(qmodel, images[0], 6)
+    eng = ContinuousBatchingEngine(qmodel, n_slots=2, slot_len=1024, chunk=4)
+    rid = eng.submit(images[0], max_tokens=6)
+    out = eng.drain()
+    assert out[rid] == ref
