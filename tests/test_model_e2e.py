@@ -150,3 +150,25 @@ def test_compile_warms_hot_paths(model):
     n_mid = len(model._jits)
     model.compile()
     assert len(model._jits) == n_mid
+
+
+def test_detect_gaze_accuracy_mode(model, image):
+    """prioritize_accuracy: 10 samples + flipped-image samples + outlier
+    filtering (reference moondream.py:906-973)."""
+    face = {"x_min": 0.3, "y_min": 0.3, "x_max": 0.6, "y_max": 0.6}
+    out = model.detect_gaze(
+        image, face=face,
+        unstable_settings={"prioritize_accuracy": True},
+    )
+    g = out["gaze"]
+    if g is not None:  # random weights may yield no detections
+        assert 0.0 <= g["x"] <= 1.0 and 0.0 <= g["y"] <= 1.0
+
+    with pytest.raises(ValueError):
+        model.detect_gaze(image, unstable_settings={"prioritize_accuracy": True})
+
+    enc = model.encode_image(image)
+    with pytest.raises(ValueError):
+        model.detect_gaze(
+            enc, face=face, unstable_settings={"prioritize_accuracy": True}
+        )
