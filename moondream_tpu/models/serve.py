@@ -10,6 +10,11 @@ independently, and advanced together by fused ragged decode chunks
     r1 = eng.submit(image1)                          # caption
     r2 = eng.submit(image2, question="What is it?")  # VQA
     results = eng.drain()                            # {req_id: text}
+
+`slot_len` bounds prompt + generated tokens per request; an encoded image
+alone occupies ~740 KV positions, so slot_len must cover image + question
++ expected output. Submissions whose prompt already fills the slot raise
+ValueError; token budgets are clamped to the room left in the slot.
 """
 
 from __future__ import annotations
@@ -131,13 +136,27 @@ class ContinuousBatchingEngine:
         _, _, next_token, pos, kv1 = model._prefill_prompt(
             kv1, prompt, enc.pos, self.temperature, self.top_p
         )
+        return self._admit(kv1, next_token, pos, slot, max_tokens)
 
+    def _admit(self, kv1, next_token, pos, slot, max_tokens) -> int:
+        """Snapshot a prefilled request into `slot`. Rejects prompts that
+        don't leave room to generate (the slot holds prompt + generated
+        tokens: pos + tokens must fit slot_len); clamps the budget so ragged
+        decode never writes past the slot edge."""
+        model = self.model
+        if pos + 1 > self.slot_len:
+            model._recycle_kv(kv1)
+            raise ValueError(
+                f"prompt occupies {pos} KV positions but slot_len is "
+                f"{self.slot_len}; no room to generate. Size slot_len >= "
+                f"prompt length (image is ~730 tokens) + expected output."
+            )
+        budget = min(max_tokens, self.slot_len - pos)
         span = model._kv_bound(pos) or self.config.max_context
         span = min(span, self.slot_len)
-        k_snap = kv1.k[:, :, :, :span, :]
-        v_snap = kv1.v[:, :, :, :span, :]
         self.kv = self._write_slot_fn(span)(
-            self.kv, k_snap, v_snap, jnp.int32(slot)
+            self.kv, kv1.k[:, :, :, :span, :], kv1.v[:, :, :, :span, :],
+            jnp.int32(slot),
         )
         model._recycle_kv(kv1)
 
@@ -147,7 +166,7 @@ class ContinuousBatchingEngine:
         self.cur = self.cur.at[slot].set(next_token[()])
         self.pos = self.pos.at[slot].set(pos)
         self.active = self.active.at[slot].set(True)
-        self.budget = self.budget.at[slot].set(max_tokens)
+        self.budget = self.budget.at[slot].set(budget)
         return req_id
 
     def submit_many(
@@ -184,22 +203,7 @@ class ContinuousBatchingEngine:
             _, _, next_token, pos, kv1 = model._prefill_prompt(
                 kv1, prompt, enc.pos, self.temperature, self.top_p
             )
-            span = model._kv_bound(pos) or self.config.max_context
-            span = min(span, self.slot_len)
-            self.kv = self._write_slot_fn(span)(
-                self.kv, kv1.k[:, :, :, :span, :], kv1.v[:, :, :, :span, :],
-                jnp.int32(slot),
-            )
-            model._recycle_kv(kv1)
-
-            req_id = self._next_req
-            self._next_req += 1
-            self.slots[slot] = _Slot(req_id=req_id, tokens=[], active=True)
-            self.cur = self.cur.at[slot].set(next_token[()])
-            self.pos = self.pos.at[slot].set(pos)
-            self.active = self.active.at[slot].set(True)
-            self.budget = self.budget.at[slot].set(max_tokens)
-            req_ids.append(req_id)
+            req_ids.append(self._admit(kv1, next_token, pos, slot, max_tokens))
         return req_ids
 
     def step(self) -> List[int]:

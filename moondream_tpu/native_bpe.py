@@ -163,6 +163,11 @@ class NativeBPETokenizer(TokenizerBase):
         n = self._lib.bpe_encode(
             self._handle, data, len(data), out.ctypes.data, max_out
         )
+        if n == -2:
+            raise RuntimeError(
+                "bpe_encode: input byte has no vocab id (tokenizer's byte "
+                "alphabet is incomplete)"
+            )
         if n < 0:
             raise RuntimeError("bpe_encode overflow")
         return out[:n].tolist()

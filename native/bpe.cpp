@@ -140,13 +140,15 @@ void pretokenize(const uint8_t* s, size_t len,
   offs.push_back(len);
   const size_t n = cps.size();
 
+  // Case-sensitive, like the GPT-2 regex: 's|'t|'re|'ve|'m|'ll|'d
+  // ("'S" is NOT a contraction suffix — it splits as ' + S).
   auto is_apos_suffix = [&](size_t p, size_t& adv) -> bool {
     if (cps[p] != '\'') return false;
     if (p + 1 < n) {
-      uint32_t c1 = cps[p + 1] | 0x20;  // ascii lowercase
+      uint32_t c1 = cps[p + 1];
       if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') { adv = 2; return true; }
       if (p + 2 < n) {
-        uint32_t c2 = cps[p + 2] | 0x20;
+        uint32_t c2 = cps[p + 2];
         if ((c1 == 'r' && c2 == 'e') || (c1 == 'v' && c2 == 'e') ||
             (c1 == 'l' && c2 == 'l')) { adv = 3; return true; }
       }
@@ -230,14 +232,17 @@ void bpe_destroy(void* h) { delete static_cast<Bpe*>(h); }
 
 namespace {
 
-// BPE-merge one pretoken's bytes into ids appended to out.
-void bpe_word(const Bpe& b, const uint8_t* s, size_t len,
+// BPE-merge one pretoken's bytes into ids appended to out. Returns false
+// (without touching out) when a byte has no vocab id — a byte-level BPE
+// vocab normally covers all 256 bytes, so this means the tables are
+// incomplete and the encode must fail loudly rather than drop text.
+bool bpe_word(const Bpe& b, const uint8_t* s, size_t len,
               std::vector<int32_t>& out) {
   std::vector<uint32_t> parts;
   parts.reserve(len);
   for (size_t i = 0; i < len; ++i) {
     auto it = b.bytes_to_id.find(std::string(1, static_cast<char>(s[i])));
-    if (it == b.bytes_to_id.end()) return;  // byte missing: caller falls back
+    if (it == b.bytes_to_id.end()) return false;
     parts.push_back(it->second);
   }
   while (parts.size() > 1) {
@@ -257,10 +262,14 @@ void bpe_word(const Bpe& b, const uint8_t* s, size_t len,
     parts.erase(parts.begin() + best_i + 1);
   }
   for (uint32_t id : parts) out.push_back(static_cast<int32_t>(id));
+  return true;
 }
 
 }  // namespace
 
+// Returns n_ids; -1 when out_ids is too small; -2 when a byte in the input
+// has no vocab id (incomplete byte alphabet — caller must not use the
+// partial result).
 int32_t bpe_encode(void* h, const uint8_t* utf8, int32_t len,
                    int32_t* out_ids, int32_t max_out) {
   const Bpe& b = *static_cast<Bpe*>(h);
@@ -269,9 +278,9 @@ int32_t bpe_encode(void* h, const uint8_t* utf8, int32_t len,
     std::vector<std::pair<size_t, size_t>> spans;
     pretokenize(utf8, len, spans);
     for (const auto& sp : spans)
-      bpe_word(b, utf8 + sp.first, sp.second - sp.first, ids);
+      if (!bpe_word(b, utf8 + sp.first, sp.second - sp.first, ids)) return -2;
   } else {
-    bpe_word(b, utf8, len, ids);
+    if (!bpe_word(b, utf8, len, ids)) return -2;
   }
   if (static_cast<int32_t>(ids.size()) > max_out) return -1;
   std::memcpy(out_ids, ids.data(), ids.size() * sizeof(int32_t));
