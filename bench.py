@@ -180,81 +180,70 @@ def main():
     log(f"decode: {tokens_per_sec:.1f} tok/s")
     log(f"caption p50: {p50_caption*1000:.1f} ms -> {images_per_sec:.3f} images/s")
 
-    # ---- throughput config: lockstep batched captioning (the TPU-native
-    # serving path — weights stream once per decode step for the whole
-    # batch; the reference has no batched path at all, hf_moondream.py:99).
-    from moondream_tpu.engine import batched as batched_engine
+    # ---- throughput config: PIPELINED lockstep batched captioning (the
+    # TPU-native serving path — weights stream once per decode step for the
+    # whole batch, and batch i+1's host crops + H2D crop transfer + ViT
+    # dispatch overlap batch i's fused decode; the reference has no batched
+    # path at all, hf_moondream.py:99).
+    from moondream_tpu.engine.pipeline import BatchPipeline
 
-    slots = kv_bound if kv_bound < config.text.max_context else None
+    settings = {
+        "max_tokens": args.decode_tokens, "temperature": 0.0, "top_p": 0.0,
+    }
 
-    def run_batched(B):
-        gen_b = jax.jit(
-            partial(
-                batched_engine.generate_text_batched,
-                config=config.text,
-                eos_id=-1,
-                suppress_ids=(config.tokenizer.answer_id,),
-                buffer=1024,
-                kv_bound=slots,
-            ),
-            donate_argnums=(1,),
-        )
-        images_b = [
+    def run_pipelined(B, n_batches, tag=""):
+        pipe = BatchPipeline(model, batch_size=B, eos_id=-1)
+        base = [
             Image.fromarray(
                 rng.integers(0, 255, size=(1080, 1440, 3), dtype=np.uint8)
             )
             for _ in range(B)
         ]
-
-        def batched_caption():
-            encs = model.encode_images(images_b)
-            pos = encs[0].pos
-            kv = model._load_kv_batched_fn(B, slots)(
-                jnp.concatenate([e.k for e in encs], axis=1),
-                jnp.concatenate([e.v for e in encs], axis=1),
-            )
-            prompt = list(config.tokenizer.templates["caption"]["normal"])
-            pad = 8
-            ids = prompt + [0] * (pad - len(prompt) % pad if len(prompt) % pad else 0)
-            emb = jnp.broadcast_to(
-                model.params["text"]["wte"][jnp.asarray(ids)][None],
-                (B, len(ids), config.text.dim),
-            ).astype(model.dtype)
-            _, _, kv = model._prefill_batched_fn(model._kv_bound(pos + len(ids)))(
-                model.params["text"], kv, emb, jnp.int32(pos),
-                jnp.int32(len(prompt)), jnp.int32(config.text.prefix_attn),
-            )
-            res = gen_b(
-                model.params["text"], kv,
-                jnp.zeros((B,), jnp.int32) + 1, jnp.int32(pos + len(prompt)),
-                jax.random.PRNGKey(0), jnp.float32(0.0), jnp.float32(0.0),
-                jnp.int32(args.decode_tokens),
-            )
-            jax.block_until_ready(res.tokens)
-
-        log(f"warmup/compile batched (B={B})...")
-        for _ in range(2):
-            batched_caption()
-        log("timing batched captions...")
-        times = []
-        for _ in range(max(3, args.runs // 2)):
-            t0 = time.perf_counter()
-            batched_caption()
-            times.append(time.perf_counter() - t0)
-        ips = B / float(np.mean(times))
-        log(f"batched B={B}: {np.mean(times)*1000:.0f} ms/batch -> {ips:.3f} images/s")
+        log(f"warmup/compile pipelined (B={B}{tag})...")
+        pipe.caption(base, settings=settings)
+        stream = [base[i % B] for i in range(B * n_batches)]
+        log(f"timing pipelined stream of {len(stream)} images...")
+        t0 = time.perf_counter()
+        out = pipe.caption(stream, settings=settings)
+        dt = time.perf_counter() - t0
+        assert len(out) == len(stream)
+        ips = len(stream) / dt
+        log(f"pipelined B={B}{tag}: {dt:.2f}s for {len(stream)} images "
+            f"-> {ips:.3f} images/s")
         return ips
 
     B = args.batch
+    n_batches = max(4, args.runs // 2)
     try:
-        batched_imgs_per_sec = run_batched(B)
+        batched_imgs_per_sec = run_pipelined(B, n_batches)
     except Exception as e:
         if B <= 8:
             raise
-        log(f"batched B={B} failed ({type(e).__name__}); falling back to 8")
+        log(f"pipelined B={B} failed ({type(e).__name__}); falling back to 8")
         model._kv_pool.clear()
         B = 8
-        batched_imgs_per_sec = run_batched(B)
+        batched_imgs_per_sec = run_pipelined(B, n_batches)
+
+    # ---- int4 serving config: packed weights free ~2GB HBM, so a larger
+    # batch fits and each decode step streams 4x less weight traffic.
+    int4_imgs_per_sec = None
+    int4_batch = 16
+    if not args.int4 and args.config == "2b":
+        try:
+            from moondream_tpu.models.text import quantize_text_params
+
+            log("quantizing text weights to runtime int4 for the int4 config...")
+            q = quantize_text_params(model.params["text"])
+            jax.block_until_ready(q["wte"])
+            # drop the bf16 text weights (2.8GB HBM) — nothing device-side
+            # runs after this config, and B=16 KV caches need the room
+            model.params = {**model.params, "text": q}
+            model._kv_pool.clear()
+            model._jits.clear()
+            int4_imgs_per_sec = run_pipelined(int4_batch, n_batches, tag=" int4")
+        except Exception as e:
+            log(f"int4 B={int4_batch} config failed ({type(e).__name__}: {e}); "
+                "reporting bf16 only")
 
     print(
         json.dumps(
@@ -264,6 +253,10 @@ def main():
                 "unit": "images/sec",
                 "vs_baseline": None,
                 "batch": B,
+                "pipelined": True,
+                "int4_b16_images_per_sec": (
+                    round(int4_imgs_per_sec, 4) if int4_imgs_per_sec else None
+                ),
                 "single_image_images_per_sec": round(images_per_sec, 4),
                 "encode_ms_mean": round(encode_ms, 2),
                 "decode_tokens_per_sec": round(tokens_per_sec, 2),

@@ -1,0 +1,250 @@
+"""Pipelined lockstep batch engine: overlap host work with device compute.
+
+The TPU executes batches strictly in order, but the three cost centers of
+batched captioning live on different resources:
+
+  * host CPU      — PIL/C++ Lanczos crops (~40 ms/image)
+  * host->device  — the crop stack transfer (44 MB/8-image batch; on a
+                    tunneled chip this is the single largest cost)
+  * TPU           — ViT + prefill + fused lockstep decode
+
+`encode_images` + `caption_batch` run them serially. This engine runs a
+producer thread that crops and *starts the async transfer* for batch i+1
+while batch i's device graph executes, and dispatches batch i+1's full
+device graph before collecting batch i's tokens — so the transfer and the
+host crops hide entirely under decode, and the device queue never drains.
+
+It also prefills [BOS, image] directly into the decode-sized KV buffer
+(no per-image snapshot slice + batched reload like encode_images +
+caption_batch pay), which is valid because a pipeline consumes each image
+exactly once.
+
+Throughput path only: results are bit-identical to `caption_batch`
+(same kernels, same positions, same masks — tests/test_pipeline.py); use
+the plain APIs for interactive/latency work. The reference has no
+multi-image path at all (hf_moondream.py:99-103 loops).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image_crops import overlap_crop_image
+from ..utils.streaming import stream_text
+
+
+class _Batch:
+    """One producer->consumer work item: crops already in flight to HBM."""
+
+    __slots__ = ("groups", "n_images")
+
+    def __init__(self, groups, n_images):
+        # groups: list of (tiling, n_crops, image_indices, crops_device)
+        self.groups = groups
+        self.n_images = n_images
+
+
+class BatchPipeline:
+    def __init__(
+        self,
+        model,
+        batch_size: int = 8,
+        prefetch: int = 2,
+        eos_id: Optional[int] = None,
+    ):
+        """`eos_id=None` uses the model's EOS; benchmark harnesses pass -1
+        to force fixed-length generation (timing independent of logits).
+        `prefetch` bounds how many crop batches may be in flight to HBM."""
+        self.model = model
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+        self.eos_id = (
+            model.config.tokenizer.eos_id if eos_id is None else eos_id
+        )
+
+    # ---------------------------------------------------------------- public
+    def caption(
+        self,
+        images,
+        length: str = "normal",
+        settings: Optional[Dict[str, Any]] = None,
+    ) -> List[str]:
+        prompt = list(self.model.config.tokenizer.templates["caption"][length])
+        return self.run(images, prompt, settings)
+
+    def query(
+        self, images, question: str, settings: Optional[Dict[str, Any]] = None
+    ) -> List[str]:
+        t = self.model.config.tokenizer.templates["query"]
+        prompt = (
+            list(t["prefix"])
+            + self.model._encode_text(question)
+            + list(t["suffix"])
+        )
+        return self.run(images, prompt, settings)
+
+    def run(
+        self, images, prompt_tokens: List[int], settings=None
+    ) -> List[str]:
+        """Caption/VQA every image with ONE shared prompt; returns texts in
+        input order. Tail batches are padded with the last image (padded
+        rows decode but their outputs are dropped) so every batch reuses
+        the same compiled graphs."""
+        model = self.model
+        images = list(images)
+        if not images:
+            return []
+        B = self.batch_size
+        max_tokens, temperature, top_p = model._settings(settings)
+        lora = model._variant(settings)
+
+        work: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        producer = threading.Thread(
+            target=self._produce, args=(images, work, stop), daemon=True
+        )
+        producer.start()
+
+        texts: List[str] = []
+        pending = None  # (res, n_real) awaiting collection
+        try:
+            while True:
+                item = work.get()
+                if isinstance(item, Exception):
+                    raise item
+                if item is None:
+                    break
+                res = self._dispatch(
+                    item, prompt_tokens, max_tokens, temperature, top_p, lora
+                )
+                if pending is not None:
+                    texts.extend(self._collect(*pending))
+                pending = (res, item.n_images)
+            if pending is not None:
+                texts.extend(self._collect(*pending))
+        finally:
+            stop.set()
+            # unblock a producer waiting on a full queue
+            while True:
+                try:
+                    work.get_nowait()
+                except queue.Empty:
+                    break
+            producer.join(timeout=10)
+        return texts[: len(images)]
+
+    # -------------------------------------------------------------- producer
+    def _produce(self, images, work, stop):
+        cfg = self.model.config.vision
+        B = self.batch_size
+        try:
+            for start in range(0, len(images), B):
+                chunk = images[start : start + B]
+                n_real = len(chunk)
+                while len(chunk) < B:  # pad tail to the compiled batch size
+                    chunk = chunk + [chunk[-1]]
+                prepped = []
+                for im in chunk:
+                    np_image = np.asarray(im.convert("RGB"))
+                    co = overlap_crop_image(
+                        np_image, overlap_margin=cfg.overlap_margin,
+                        max_crops=cfg.max_crops,
+                    )
+                    prepped.append((co["crops"], tuple(co["tiling"])))
+                groups_idx = defaultdict(list)
+                for i, (crops, tiling) in enumerate(prepped):
+                    groups_idx[(crops.shape[0], tiling)].append(i)
+                groups = []
+                for (n, tiling), idxs in groups_idx.items():
+                    batch_crops = np.concatenate(
+                        [prepped[i][0] for i in idxs], axis=0
+                    )
+                    # jnp.asarray starts the async H2D transfer NOW, while
+                    # the consumer's device graph for the previous batch runs
+                    groups.append((tiling, n, idxs, jnp.asarray(batch_crops)))
+                if stop.is_set():
+                    return
+                work.put(_Batch(groups, n_real))
+            work.put(None)
+        except Exception as e:  # surface in the consumer
+            work.put(e)
+
+    # -------------------------------------------------------------- consumer
+    def _dispatch(self, batch, prompt_tokens, max_tokens, temperature, top_p, lora):
+        """Enqueue the full device graph for one batch; returns the async
+        generation result (nothing fetched to host here)."""
+        model = self.model
+        cfg = model.config
+        bsz = self.batch_size
+
+        img_embs: List[Optional[jax.Array]] = [None] * bsz
+        for tiling, n, idxs, crops_dev in batch.groups:
+            feats = model._vis_enc_fn()(model.params["vision"], crops_dev)
+            feats = feats.reshape(len(idxs), n, *feats.shape[1:])
+            embs = model._stitch_proj_batched_fn(tiling)(
+                model.params["vision"], feats[:, 0], feats[:, 1:n]
+            )
+            for j, i in enumerate(idxs):
+                img_embs[i] = embs[j]
+
+        wte = model.params["text"]["wte"]
+        bos_emb = wte[jnp.asarray([cfg.tokenizer.bos_id])]
+        embeds = jnp.stack(
+            [jnp.concatenate([bos_emb, e], axis=0) for e in img_embs]
+        ).astype(model.dtype)
+        seq = embeds.shape[1]
+
+        ids = list(prompt_tokens)
+        length = len(ids)
+        from ..models.moondream import PROMPT_PAD, _ceil_to
+
+        pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        bound = model._decode_bound(seq + pad + max_tokens + 1)
+
+        # [BOS, image] prefill straight into the decode-sized buffer
+        kv = model._take_kv_buffer(bsz, bound)
+        _, _, kv = model._prefill_batched_fn(model._kv_bound(seq))(
+            model.params["text"], kv, embeds,
+            jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
+        )
+
+        ids_padded = ids + [0] * (pad - length)
+        emb = jnp.broadcast_to(
+            wte[jnp.asarray(ids_padded)][None], (bsz, pad, cfg.text.dim)
+        ).astype(model.dtype)
+        logits, _, kv = model._prefill_batched_fn(model._kv_bound(seq + pad))(
+            model.params["text"], kv, emb,
+            jnp.int32(seq), jnp.int32(length),
+            jnp.int32(cfg.text.prefix_attn), lora=lora,
+        )
+        first = model._sample_batched_fn()(
+            logits, model._next_rng(), jnp.float32(temperature),
+            jnp.float32(top_p),
+        ).astype(jnp.int32)
+
+        res = model._generate_batched_fn(
+            self.eos_id, (cfg.tokenizer.answer_id,),
+            cfg.text.max_context, bound,
+        )(
+            model.params["text"], kv, first, jnp.int32(seq + length),
+            model._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
+            jnp.int32(max_tokens), lora=lora,
+        )
+        return res
+
+    def _collect(self, res, n_real) -> List[str]:
+        tokens, counts = jax.device_get((res.tokens, res.counts))
+        self.model._recycle_kv(res.kv, self.batch_size)
+        return [
+            "".join(
+                stream_text(tokens[b, : counts[b]], self.model._decode_tokens)
+            )
+            for b in range(n_real)
+        ]
