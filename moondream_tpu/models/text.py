@@ -320,8 +320,20 @@ def prefix_attn_mask(q_len: int, prefix: int) -> jnp.ndarray:
     return (causal | prefix_block)[None, None]
 
 
+def _require_dense(w: dict, op: str) -> None:
+    """The cache-free training/capture paths read the dense block weights,
+    which quantize_text_params replaces with packed int4."""
+    if "blocks_q" in w or "w" not in w["blocks"]["attn"]["qkv"]:
+        raise ValueError(
+            f"{op} is not supported with runtime_int4 text params: the dense "
+            "block weights were replaced by packed int4. Load the checkpoint "
+            "with runtime_int4=False for finetuning / hidden-state capture."
+        )
+
+
 def produce_hidden(inputs_embeds: jax.Array, w: dict, config: TextConfig) -> jax.Array:
     """Full-sequence cache-free forward for training (reference text.py:102-125)."""
+    _require_dense(w, "produce_hidden")
     q_len = inputs_embeds.shape[1]
     mask = prefix_attn_mask(q_len, config.prefix_attn)
 
@@ -348,6 +360,7 @@ def produce_hidden_layers(
     causality the hidden states at each position are identical, and the
     capture is a single MXU-friendly pass with the per-layer states emitted
     as `lax.scan` ys."""
+    _require_dense(w, "produce_hidden_layers")
     q_len = inputs_embeds.shape[1]
     mask = prefix_attn_mask(q_len, config.prefix_attn)
 
