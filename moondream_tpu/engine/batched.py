@@ -85,6 +85,24 @@ def prefill_batched(
     return lm_logits_batched(h_last, text_params), h_last, kv
 
 
+def decode_step_batched(
+    text_params: dict,
+    kv: KVCache,
+    emb: jax.Array,
+    pos: jax.Array,
+    config: TextConfig,
+    lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """One lockstep decode step. emb: (B, 1, D), shared position.
+    Returns ((B, V) logits, (B, D) hidden, kv)."""
+    hidden, kv = text_ops.text_decoder(
+        emb, text_params, kv, pos, jnp.int32(0), config, lora, kv_bound
+    )
+    h = hidden[:, 0]
+    return lm_logits_batched(h, text_params), h, kv
+
+
 class BatchedGenerateResult(NamedTuple):
     tokens: jax.Array  # (B, buffer) int32
     counts: jax.Array  # (B,) int32 — valid tokens per row

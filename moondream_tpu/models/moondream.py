@@ -448,23 +448,40 @@ class MoondreamModel:
         self._recycle_kv(kv)
         return enc
 
-    def compile(self) -> "MoondreamModel":
+    def compile(
+        self, settings: Optional[Dict[str, Any]] = None
+    ) -> "MoondreamModel":
         """Pre-compile the hot paths (API parity with reference
         moondream.py:194-204, which wraps torch.compile). Under JAX every
-        path jit-compiles on first use; this runs one tiny dummy request
-        through encode / caption / query / detect / point so first real
-        requests don't pay compile time. Larger crop tilings still compile
-        on first encounter (shapes are bucketed)."""
+        path jit-compiles on first use; this runs one dummy request through
+        encode / caption / query (incl. reasoning) / detect / point /
+        detect_gaze.
+
+        jit cache keys include the static KV-read bound derived from
+        max_tokens / max_objects, so warming MUST use the same settings
+        real requests will use — pass `settings` if yours differ from the
+        defaults (warming with tiny limits would compile throwaway buckets
+        and leave the real ones cold). Larger crop tilings still compile on
+        first encounter (shapes are bucketed); the batched/pipelined
+        engines compile on their first batch."""
         from PIL import Image as PILImage
 
         dummy = PILImage.new("RGB", (self.config.vision.crop_size,) * 2)
-        s = {"max_tokens": 2, "temperature": 0.0, "top_p": 0.0,
-             "max_objects": 2}
+        s = dict(settings or {})
+        # greedy warming traces the same graphs as sampled decoding (the
+        # temperature/top_p switch is a traced lax.cond), but with random
+        # logits greedy terminates deterministically
+        s.setdefault("max_tokens", DEFAULT_MAX_TOKENS)
+        s.setdefault("max_objects", DEFAULT_MAX_OBJECTS)
+        s.setdefault("temperature", 0.0)
+        s.setdefault("top_p", 0.0)
         enc = self.encode_image(dummy)
         self.caption(enc, "normal", settings=s)
         self.query(image=enc, question="?", settings=s)
+        self.query(image=enc, question="?", reasoning=True, settings=s)
         self.detect(enc, "x", settings=s)
         self.point(enc, "x", settings=s)
+        self.detect_gaze(enc, eye=(0.5, 0.5))
         return self
 
     def load_encoded_image(self, encoded: EncodedImage) -> KVCache:
@@ -1045,6 +1062,94 @@ class MoondreamModel:
             return None
         return {"x": float(b[0]), "y": float(b[1])}
 
+    def _detect_gaze_batch(
+        self,
+        encs: List[EncodedImage],
+        sources: List[Tuple[float, float]],
+        force_detect: bool = False,
+    ) -> List[Optional[Dict[str, float]]]:
+        """Lockstep-batched gaze decode: all (image, eye-source) rows share
+        ONE batched prompt prefill and ONE batched coordinate decode step.
+
+        Replaces len(sources) sequential `_detect_gaze` calls (each paying a
+        KV restore, prefill, and per-step host syncs) — the reference's
+        accuracy mode runs 20 such generations in a Python loop
+        (moondream.py:906-973). Row math is identical to the single path
+        (lockstep batching shares positions and masks), so outputs match
+        `_detect_gaze` per row."""
+        from ..engine import batched as batched_engine
+
+        B = len(encs)
+        wte = self.params["text"]["wte"]
+        region = self.params["region"]
+        before = wte[jnp.asarray([self._encode_text("\n\nPoint:")])]
+        after = wte[jnp.asarray([self._encode_text(" gaze\n\n")])]
+        xs = jnp.asarray([[[s[0]]] for s in sources], dtype=self.dtype)
+        ys = jnp.asarray([[[s[1]]] for s in sources], dtype=self.dtype)
+        x_emb = region_ops.encode_coordinate(xs, region)  # (B, 1, D)
+        y_emb = region_ops.encode_coordinate(ys, region)
+        embeds = jnp.concatenate(
+            [
+                jnp.broadcast_to(before, (B, *before.shape[1:])),
+                x_emb,
+                y_emb,
+                jnp.broadcast_to(after, (B, *after.shape[1:])),
+            ],
+            axis=1,
+        ).astype(self.dtype)
+        length = embeds.shape[1]
+        pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        if pad > length:
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad - length), (0, 0)))
+
+        pos = encs[0].pos
+        bound = self._kv_bound(pos + pad + 4)
+        kv = self._load_kv_batched_fn(B, bound)(
+            jnp.concatenate([e.k for e in encs], axis=1),
+            jnp.concatenate([e.v for e in encs], axis=1),
+        )
+        logits, hidden, kv = self._prefill_batched_fn(bound)(
+            self.params["text"], kv, embeds,
+            jnp.int32(pos), jnp.int32(length),
+            jnp.int32(self.config.text.prefix_attn),
+        )
+        pos += length
+        next_tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        # x from the prefill hidden; y from one lockstep decode step on
+        # enc(x) — same two ops _generate_points runs for max_objects=1
+        x_logits = region_ops.decode_coordinate(hidden, region)
+        x = jnp.argmax(x_logits, -1).astype(jnp.float32) / x_logits.shape[-1]
+        emb = region_ops.encode_coordinate(
+            x[:, None, None].astype(self.dtype), region
+        )
+        step = self._jit(
+            ("decode_b", bound),
+            lambda: jax.jit(
+                partial(
+                    batched_engine.decode_step_batched,
+                    config=self.config.text, kv_bound=bound,
+                ),
+                donate_argnums=(1,),
+            ),
+        )
+        _, hidden_y, kv = step(self.params["text"], kv, emb, jnp.int32(pos))
+        y_logits = region_ops.decode_coordinate(hidden_y, region)
+        y = jnp.argmax(y_logits, -1).astype(jnp.float32) / y_logits.shape[-1]
+
+        toks, xv, yv = jax.device_get((next_tok, x, y))
+        self._recycle_kv(kv, B)
+        eos = self.config.tokenizer.eos_id
+        # force_detect replaces the sampled token with id 0 BEFORE the eos
+        # check, exactly like _detect_gaze / the reference moondream.py:
+        # 873-877 (so with eos_id=0 configs it still yields None)
+        return [
+            {"x": float(xv[b]), "y": float(yv[b])}
+            if int(0 if force_detect else toks[b]) != eos
+            else None
+            for b in range(B)
+        ]
+
     def detect_gaze(
         self,
         image,
@@ -1082,30 +1187,32 @@ class MoondreamModel:
                 image.transpose(method=PILImage.Transpose.FLIP_LEFT_RIGHT)
             )
 
+        # Sample all 2N eye sources up front (same RNG order as the
+        # reference's two loops, moondream.py:918-957), then run ONE
+        # lockstep batch over both encoded images instead of 2N sequential
+        # generations.
         N = 10
-        detections = []
-        for _ in range(N):
-            g = self._detect_gaze(
-                enc,
-                (
-                    pyrandom.uniform(face["x_min"], face["x_max"]),
-                    pyrandom.uniform(face["y_min"], face["y_max"]),
-                ),
-                force_detect=force_detect,
+        sources = [
+            (
+                pyrandom.uniform(face["x_min"], face["x_max"]),
+                pyrandom.uniform(face["y_min"], face["y_max"]),
             )
-            if g is not None:
-                detections.append((g["x"], g["y"]))
-        for _ in range(N):
-            g = self._detect_gaze(
-                enc_flipped,
-                (
-                    1 - pyrandom.uniform(face["x_min"], face["x_max"]),
-                    pyrandom.uniform(face["y_min"], face["y_max"]),
-                ),
-                force_detect=force_detect,
+            for _ in range(N)
+        ] + [
+            (
+                1 - pyrandom.uniform(face["x_min"], face["x_max"]),
+                pyrandom.uniform(face["y_min"], face["y_max"]),
             )
-            if g is not None:
-                detections.append((1 - g["x"], g["y"]))
+            for _ in range(N)
+        ]
+        rows = self._detect_gaze_batch(
+            [enc] * N + [enc_flipped] * N, sources, force_detect=force_detect
+        )
+        detections = [
+            (g["x"], g["y"]) for g in rows[:N] if g is not None
+        ] + [
+            (1 - g["x"], g["y"]) for g in rows[N:] if g is not None
+        ]
 
         if len(detections) < N:
             return {"gaze": None}

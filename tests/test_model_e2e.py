@@ -141,15 +141,41 @@ def test_encoded_image_reuse(model, image):
 
 
 def test_compile_warms_hot_paths(model):
-    """compile() runs every capability once and is idempotent (API parity
-    with reference moondream.py:194-204)."""
+    """compile() runs every capability (incl. reasoning + gaze) once with
+    the session's settings and is idempotent (API parity with reference
+    moondream.py:194-204). Warming with the same settings real requests
+    use means their kv_bound jit buckets are the ones compiled."""
+    s = {**GREEDY, "max_objects": 2}
     n_before = len(model._jits)
-    assert model.compile() is model
+    assert model.compile(settings=s) is model
     assert len(model._jits) >= n_before
-    # cached: second call must not grow the jit table
+    # cached: a real request with the same settings must not add new jit
+    # entries, and neither must a second compile()
     n_mid = len(model._jits)
-    model.compile()
+    img = Image.new("RGB", (model.config.vision.crop_size,) * 2)
+    model.caption(img, "normal", settings=s)
+    model.query(image=img, question="?", settings=s)
+    model.compile(settings=s)
     assert len(model._jits) == n_mid
+
+
+def test_detect_gaze_batch_matches_sequential(model, image):
+    """The lockstep-batched gaze decode must reproduce the sequential
+    single-row path exactly (same positions, same masks)."""
+    enc = model.encode_image(image)
+    flipped = model.encode_image(
+        image.transpose(method=Image.Transpose.FLIP_LEFT_RIGHT)
+    )
+    sources = [(0.31, 0.42), (0.55, 0.38), (0.47, 0.51), (0.62, 0.44)]
+    encs = [enc, flipped, enc, flipped]
+    for force in (False, True):
+        batch = model._detect_gaze_batch(encs, sources, force_detect=force)
+        for e, s, got in zip(encs, sources, batch):
+            want = model._detect_gaze(e, s, force_detect=force)
+            assert (got is None) == (want is None), (s, force)
+            if want is not None:
+                assert abs(got["x"] - want["x"]) < 1e-5
+                assert abs(got["y"] - want["y"]) < 1e-5
 
 
 def test_detect_gaze_accuracy_mode(model, image):
