@@ -80,6 +80,143 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
         )
 
 
+def _flash_kernel_kvtiled(
+    scalars_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale: float, n_kt: int, tq_tile: int, tk_tile: int,
+):
+    """Online-softmax variant: both the query and KV axes are tiled across
+    grid dims (kv innermost), carrying running (max, denom, output) in VMEM
+    scratch — the full (Tq, Tk) score matrix is never materialized, so
+    full-context (2048x2048) prefill stays far under the VMEM ceiling.
+    Same mask rule as _flash_kernel. Scratch m/l are lane-replicated
+    (tq_tile, 128) f32, the standard TPU layout for row statistics."""
+    pos = scalars_ref[0]
+    prefix = scalars_ref[1]
+    qi = pl.program_id(1)
+    kt = pl.program_id(2)
+    d = q_ref.shape[2]
+
+    @pl.when(kt == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    shape = (tq_tile, tk_tile)
+    row0 = pos + qi * tq_tile
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = kt * tk_tile + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    mask = (cols <= rows) | ((rows < prefix) & (cols < prefix))
+    bias = jnp.where(mask, jnp.float32(0), jnp.float32(-1e30))
+
+    # skip kv tiles fully beyond every column this q tile can attend
+    last_col = jnp.maximum(row0 + tq_tile - 1, prefix - 1)
+
+    @pl.when(kt * tk_tile <= last_col)
+    def _run():
+        reps_k = tk_tile // 128
+        if d % 128 == 0:
+            lb = lambda x: jnp.tile(x, (1, d // 128))
+        else:
+            lb = lambda x: x[:, :d]
+        for hh in range(q_ref.shape[0]):
+            qh = q_ref[hh]
+            kh = k_ref[hh]
+            vh = v_ref[hh]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + bias
+
+            m_prev = m_ref[hh]  # (tq_tile, 128) lane-replicated
+            l_prev = l_ref[hh]
+            m_curr = jnp.max(s, axis=-1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            p = jnp.exp(s - jnp.tile(m_next[:, :128], (1, reps_k)))
+            alpha = jnp.exp(m_prev - m_next)
+            l_corr = alpha * l_prev
+            l_next = jnp.sum(p, axis=-1)[:, None] + l_corr
+            m_ref[hh] = m_next
+            l_ref[hh] = l_next
+            l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+            acc_ref[hh] = acc_ref[hh] * lb(l_corr * l_inv)
+            o_curr = jnp.dot(
+                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+            )
+            acc_ref[hh] = acc_ref[hh] + o_curr * lb(l_inv)
+
+    @pl.when(kt == n_kt - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _flash_attention_kvtiled(
+    q, k, v, scalars, b, h, tq_p, tk_p, d, scale, interpret
+) -> jax.Array:
+    """q/kv-tiled launch for long spans (online softmax, scratch-carried)."""
+    tq_tile = min(tq_p, 512)
+    tk_tile = 512
+    tq_pp = _ceil_to(tq_p, tq_tile)
+    tk_pp = _ceil_to(tk_p, tk_tile)
+    if tq_pp != q.shape[1]:
+        q = jnp.pad(q, ((0, 0), (0, tq_pp - q.shape[1]), (0, 0)))
+    if tk_pp != k.shape[1]:
+        k = jnp.pad(k, ((0, 0), (0, tk_pp - k.shape[1]), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, tk_pp - v.shape[1]), (0, 0)))
+    n_qt = tq_pp // tq_tile
+    n_kt = tk_pp // tk_tile
+
+    ht = 1
+    if os.environ.get("MOONDREAM_FLASH_HT"):
+        ht = int(os.environ["MOONDREAM_FLASH_HT"])
+    while (b * h) % ht:
+        ht //= 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=((b * h) // ht, n_qt, n_kt),
+        in_specs=[
+            pl.BlockSpec((ht, tq_tile, d), lambda i, qi, kt, s: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ht, tk_tile, d), lambda i, qi, kt, s: (i, kt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ht, tk_tile, d), lambda i, qi, kt, s: (i, kt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ht, tq_tile, d), lambda i, qi, kt, s: (i, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ht, tq_tile, 128), jnp.float32),  # running max
+            pltpu.VMEM((ht, tq_tile, 128), jnp.float32),  # running denom
+            pltpu.VMEM((ht, tq_tile, d), jnp.float32),  # output accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_kvtiled, scale=scale, n_kt=n_kt,
+            tq_tile=tq_tile, tk_tile=tk_tile,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pp, d), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * (b * h) * tq_pp * tk_pp * d,
+            bytes_accessed=(b * h) * (tq_pp * d + 2 * tk_pp * d + tq_pp * d) * 2,
+            transcendentals=(b * h) * tq_pp * tk_pp,
+        ),
+    )(scalars, q, k, v)
+    return out[:, :tq_p] if tq_pp != tq_p else out
+
+
+# KV spans past this use the online-softmax kv-tiled kernel: a single
+# (Tq, Tk) fp32 score block per head beyond ~1024 columns (2048x2048 is
+# 16MB) would crowd out VMEM double-buffering.
+FLASH_KV_TILE_THRESHOLD = 1024
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -92,7 +229,8 @@ def flash_attention(
 
     Query row i sits at absolute position pos+i; the mask rule above
     applies. Tq/Tk are padded to 128 internally; callers slice garbage rows
-    themselves (they already do for bucketed shapes).
+    themselves (they already do for bucketed shapes). Spans longer than
+    FLASH_KV_TILE_THRESHOLD take the online-softmax kv-tiled kernel.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -109,6 +247,13 @@ def flash_attention(
     kf = k.reshape(b * h, tk_p, d)
     vf = v.reshape(b * h, tk_p, d)
     scalars = jnp.asarray([pos, prefix], jnp.int32)
+
+    if tk_p > FLASH_KV_TILE_THRESHOLD:
+        out = _flash_attention_kvtiled(
+            qf, kf, vf, scalars, b, h, tq_p, tk_p, d, scale, interpret
+        )
+        out = out.reshape(b, h, tq_p, d)
+        return out[:, :, :tq] if tq_p != tq else out
 
     # head tile: as many heads per program as the VMEM budget allows
     # (q/k/v/o blocks + fp32 score matrix per head, double buffered)

@@ -14,13 +14,13 @@ and fixed-point rounding), so outputs differ from the PIL path by a few
 8-bit LSBs. This is an opt-in path (MOONDREAM_DEVICE_PREPROCESS=1); the
 bit-exact host path stays the default for reference parity.
 
-Status (measured v5e-1, 1080p 12-crop encode, round 1): device path
-median 456ms vs host path 336ms — the channel-last (H, W, 3) tensordots
-are lane-hostile on the MXU, so this does NOT yet pay off on an idle
-host. It exists for (a) hosts whose CPUs are contended (the host path
-serializes ~30ms/image of resampling per CPU) and (b) as the starting
-point for a channel-planar kernel. The resize matrices are cached per
-(in, out) size; the jitted pipeline per (image shape, tiling).
+Layout: CHANNEL-PLANAR. Round 1 ran the tensordots channel-last
+((H, W, 3) with C on the 128-lane axis — 3/128 lanes used), measuring
+456ms vs the 336ms host path. The rewrite transposes once to (3, H, W)
+so both resize contractions run as C-batched (out, in) @ (in, W) matmuls
+with the full W/H on the lane axis, then transposes the 5.6MB crop stack
+back once. The resize matrices are cached per (in, out) size; the jitted
+pipeline per (image shape, tiling).
 """
 
 from __future__ import annotations
@@ -68,13 +68,18 @@ def lanczos_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def _resize_dev(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """x: (H, W, C) float32 -> (out_h, out_w, C) via two matmuls."""
-    h, w, _ = x.shape
-    r = jnp.asarray(lanczos_matrix(h, out_h))
-    c = jnp.asarray(lanczos_matrix(w, out_w))
-    y = jnp.tensordot(r, x, axes=((1,), (0,)))  # (out_h, W, C)
-    return jnp.tensordot(y, c, axes=((1,), (1,))).transpose(0, 2, 1)
+def _resize_dev_planar(x_chw: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """x: (C, H, W) float32 -> (C, out_h, out_w) via two C-batched matmuls
+    (H and W ride the MXU sublane/lane axes; C is the tiny batch dim)."""
+    _, h, w = x_chw.shape
+    r = jnp.asarray(lanczos_matrix(h, out_h))  # (out_h, H)
+    c = jnp.asarray(lanczos_matrix(w, out_w))  # (out_w, W)
+    y = jnp.einsum(
+        "oh,chw->cow", r, x_chw, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "pw,cow->cop", c, y, preferred_element_type=jnp.float32
+    )
 
 
 def device_overlap_crops(
@@ -93,9 +98,9 @@ def device_overlap_crops(
     target_h = n_rows * window + 2 * margin_px
     target_w = n_cols * window + 2 * margin_px
 
-    x = image_u8.astype(jnp.float32)
-    global_crop = _resize_dev(x, base_size, base_size)
-    grid = _resize_dev(x, target_h, target_w)
+    x = image_u8.astype(jnp.float32).transpose(2, 0, 1)  # planar (3, H, W)
+    global_crop = _resize_dev_planar(x, base_size, base_size)
+    grid = _resize_dev_planar(x, target_h, target_w)
 
     crops = [global_crop]
     for r in range(n_rows):
@@ -103,10 +108,11 @@ def device_overlap_crops(
             y0, x0 = r * window, c * window
             crops.append(
                 jax.lax.dynamic_slice(
-                    grid, (y0, x0, 0), (base_size, base_size, 3)
+                    grid, (0, y0, x0), (3, base_size, base_size)
                 )
             )
-    return jnp.clip(jnp.stack(crops), 0.0, 255.0)
+    # one transpose back to the encoder's channel-last layout at the end
+    return jnp.clip(jnp.stack(crops), 0.0, 255.0).transpose(0, 2, 3, 1)
 
 
 def preprocess_tiling(h: int, w: int, crop_size: int, patch_size: int,

@@ -85,6 +85,47 @@ def test_pure_causal():
     )
 
 
+def test_kvtiled_full_context_prefill():
+    """Spans past FLASH_KV_TILE_THRESHOLD route to the online-softmax
+    kv-tiled kernel: full-context 2048-wide prefill with the 730
+    bidirectional prefix, no materialized (Tq, Tk) score block."""
+    rng = np.random.default_rng(5)
+    b, h, tq, tk, d = 1, 2, 2048, 2048, 64
+    q = (rng.standard_normal((b, h, tq, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    np.testing.assert_allclose(
+        _pallas(q, k, v, 0, 730), _xla(q, k, v, 0, 730), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_kvtiled_prompt_after_long_context():
+    """Short prompt rows attending a long (1536) span, pure causal, with a
+    non-tile-aligned kv length exercising the tail tile padding."""
+    rng = np.random.default_rng(6)
+    b, h, tq, tk, d = 1, 2, 16, 1500, 64
+    q = (rng.standard_normal((b, h, tq, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    np.testing.assert_allclose(
+        _pallas(q, k, v, 1400, 730), _xla(q, k, v, 1400, 730),
+        atol=3e-5, rtol=1e-4,
+    )
+
+
+def test_kvtiled_vit_headdim():
+    """72-wide ViT heads (d < 128) through the kv-tiled kernel's
+    l-broadcast slice path."""
+    rng = np.random.default_rng(7)
+    b, h, tq, tk, d = 1, 2, 1280, 1280, 72
+    q = (rng.standard_normal((b, h, tq, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    np.testing.assert_allclose(
+        _pallas(q, k, v, 0, tk), _xla(q, k, v, 0, tk), atol=3e-5, rtol=1e-4
+    )
+
+
 # ------------------------------------------------- decode kernel (Tq == 1)
 def _pallas_decode(q, k, v, pos, prefix):
     from moondream_tpu.ops.attention import decode_attention
