@@ -130,7 +130,42 @@ class HfMoondream:
 
     # ------------------------------------------------------------ embeddings
     def get_input_embeddings(self):
+        """The (vocab, dim) embedding table (reference hf_moondream.py:
+        142-154 wraps it in nn.Embedding; here the array IS the layer —
+        params are immutable pytrees, lookups are `wte[ids]`)."""
         return self.model.params["text"]["wte"]
+
+    def set_input_embeddings(self, value) -> None:
+        """Replace the embedding table (reference hf_moondream.py:156-164,
+        used by HF utilities like resize_token_embeddings). Accepts a
+        (vocab, dim) array or anything with a `.weight` (torch nn.Embedding);
+        functional params mean this swaps the table in a fresh text pytree."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        w = getattr(value, "weight", value)
+        if hasattr(w, "detach"):  # torch tensor
+            w = w.detach().cpu().float().numpy()
+        w = jnp.asarray(np.asarray(w), dtype=self.model.dtype)
+        if w.ndim != 2 or w.shape[1] != self.model.config.text.dim:
+            raise ValueError(
+                f"embedding table must be (vocab, {self.model.config.text.dim}); "
+                f"got {w.shape}"
+            )
+        self.model.params = {
+            **self.model.params,
+            "text": {**self.model.params["text"], "wte": w},
+        }
+
+    def input_embeds(self, input_ids):
+        """Token ids -> embeddings (reference hf_moondream.py:166-183)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        ids = jnp.asarray(np.asarray(input_ids), dtype=jnp.int32)
+        if ids.ndim == 1:
+            ids = ids[None]
+        return self.model.params["text"]["wte"][ids]
 
     @property
     def config(self) -> Dict[str, Any]:

@@ -89,3 +89,38 @@ def test_hf_shim_legacy_api(model):
     assert isinstance(cap["caption"], str)
     det = hf.detect(img, "thing")
     assert "objects" in det
+
+
+def test_hf_shim_embedding_accessors(model):
+    """get/set_input_embeddings + input_embeds (reference
+    hf_moondream.py:142-183): swapped tables must drive generation."""
+    import numpy as np
+
+    from moondream_tpu.hf_moondream import HfMoondream
+
+    hf = HfMoondream(model)
+    wte = hf.get_input_embeddings()
+    assert wte.shape[1] == model.config.text.dim
+
+    emb = hf.input_embeds([1, 2, 3])
+    np.testing.assert_allclose(
+        np.asarray(emb[0], np.float32),
+        np.asarray(wte, np.float32)[[1, 2, 3]],
+    )
+
+    img = _img(5)
+    before = hf.answer_question(hf.encode_image(img), "what?")
+    rng = np.random.default_rng(0)
+    new = rng.standard_normal(wte.shape).astype(np.float32) * 0.02
+    hf.set_input_embeddings(new)
+    np.testing.assert_allclose(
+        np.asarray(hf.get_input_embeddings(), np.float32),
+        np.asarray(new, np.float32), atol=1e-2, rtol=1e-2,
+    )
+    after = hf.answer_question(hf.encode_image(img), "what?")
+    assert isinstance(after, str) and after != before
+
+    with pytest.raises(ValueError):
+        hf.set_input_embeddings(np.zeros((4, 4), np.float32))
+
+    hf.set_input_embeddings(wte)  # restore for other tests
