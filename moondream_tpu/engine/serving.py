@@ -55,14 +55,21 @@ def _ragged_attn(
     q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
     k = apply_rotary_emb(k, freqs_cis, position_ids, config.rope_dim)
 
-    # per-row cache writes (unrolled over the slot pool; S is small)
+    # per-row cache writes (unrolled over the slot pool; S is small).
+    # pf > 1: head-paired cache layout (text.pair_kv) — for a single token
+    # the pairing is a pure reshape (adjacent heads merge on the lane axis).
+    pf = k_cache.shape[-1] // config.head_dim
+    hp = config.n_kv_heads // pf
+    dd = pf * config.head_dim
     for s in range(bsz):
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[s : s + 1][None].astype(k_cache.dtype),
+            k_cache,
+            k[s : s + 1].reshape(1, 1, hp, 1, dd).astype(k_cache.dtype),
             (layer, s, 0, pos[s], 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[s : s + 1][None].astype(v_cache.dtype),
+            v_cache,
+            v[s : s + 1].reshape(1, 1, hp, 1, dd).astype(v_cache.dtype),
             (layer, s, 0, pos[s], 0),
         )
 
@@ -76,6 +83,8 @@ def _ragged_attn(
         if kv_bound is not None:
             k_l = k_l[:, :, :kv_bound]
             v_l = v_l[:, :, :kv_bound]
+        k_l = text_ops.unpair_kv(k_l, pf)
+        v_l = text_ops.unpair_kv(v_l, pf)
         from ..ops.layers import sdpa
 
         tk = k_l.shape[2]

@@ -215,3 +215,86 @@ def test_decode_kernel_multi_tile_block_mapping():
     out = _pallas_decode(q, k, v, 200, 0)
     ref = _xla(q, k, v, 200, 0)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------- head-paired stacked cache kernel
+def _pair(x, pf=2):
+    """(B, H, T, D) -> head-paired (B, H/pf, T, pf*D)."""
+    b, h, t, d = x.shape
+    return (
+        x.reshape(b, h // pf, pf, t, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, h // pf, t, pf * d)
+    )
+
+
+def test_decode_cached_paired_matches_xla():
+    """Head-paired (L, B, H/2, T, 2D) cache through the paired kernel ==
+    XLA sdpa on the plain layout, across layers and positions."""
+    from moondream_tpu.ops.attention import decode_attention_cached
+
+    rng = np.random.default_rng(7)
+    L, b, h, tk, d = 3, 2, 8, 256, 64
+    q = (rng.standard_normal((b, h, 1, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    kp = np.stack([_pair(k[l]) for l in range(L)])
+    vp = np.stack([_pair(v[l]) for l in range(L)])
+    for layer in (0, 2):
+        for pos, prefix in ((0, 0), (100, 0), (50, 100), (255, 0)):
+            got = np.asarray(
+                decode_attention_cached(
+                    jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                    layer, pos, prefix, interpret=True,
+                )
+            )
+            ref = _xla(q, k[layer], v[layer], pos, prefix)
+            np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_cached_paired_ragged():
+    """Per-row positions (continuous batching) through the paired kernel."""
+    from moondream_tpu.ops.attention import decode_attention_cached
+
+    rng = np.random.default_rng(8)
+    L, b, h, tk, d = 2, 4, 4, 128, 64
+    q = (rng.standard_normal((b, h, 1, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    kp = np.stack([_pair(k[l]) for l in range(L)])
+    vp = np.stack([_pair(v[l]) for l in range(L)])
+    pos = np.asarray([3, 60, 127, 0], np.int32)
+    got = np.asarray(
+        decode_attention_cached(
+            jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+            1, jnp.asarray(pos), 0, interpret=True,
+        )
+    )
+    for r in range(b):
+        ref = _xla(q[r : r + 1], k[1, r : r + 1], v[1, r : r + 1],
+                   int(pos[r]), 0)
+        np.testing.assert_allclose(got[r : r + 1], ref, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_cached_paired_kv_bound():
+    """kv_bound restricts reads to the first `bound` slots (time axis is
+    unchanged by head pairing); garbage beyond must not leak."""
+    from moondream_tpu.ops.attention import decode_attention_cached
+
+    rng = np.random.default_rng(9)
+    L, b, h, tk, d = 1, 1, 4, 512, 64
+    q = (rng.standard_normal((b, h, 1, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    k[:, :, :, 256:] = 1e4
+    v[:, :, :, 256:] = -1e4
+    kp = np.stack([_pair(k[l]) for l in range(L)])
+    vp = np.stack([_pair(v[l]) for l in range(L)])
+    got = np.asarray(
+        decode_attention_cached(
+            jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+            0, 200, 0, kv_bound=256, interpret=True,
+        )
+    )
+    ref = _xla(q[:, :, :, :], k[0][:, :, :256], v[0][:, :, :256], 200, 0)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

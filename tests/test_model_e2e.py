@@ -34,8 +34,11 @@ def test_encode_image(model, image):
     assert isinstance(enc, EncodedImage)
     assert enc.pos == 730
     L = model.config.text.n_layers
-    assert enc.k.shape == (L, 1, model.config.text.n_kv_heads, 730,
-                           model.config.text.head_dim)
+    from moondream_tpu.models.text import kv_pair_factor
+
+    pf = kv_pair_factor(model.config.text)
+    assert enc.k.shape == (L, 1, model.config.text.n_kv_heads // pf, 730,
+                           pf * model.config.text.head_dim)
     # Idempotent on EncodedImage input.
     assert model.encode_image(enc) is enc
 
