@@ -144,6 +144,74 @@ def _q_matmul_kernel(
     ).astype(o_ref.dtype)
 
 
+def _q_matmul_kernel_gd(
+    scalars_ref, x_ref, p_ref, s_ref, z_ref, o_ref, *, k: int, stacked: bool,
+    bittrick: bool,
+):
+    """Group-dot dequant matmul: the affine (scale, zero) never touches the
+    (K, Nt) weight domain.
+
+    The legacy kernel dequantizes every weight element in fp32
+    (unpack -> broadcast scale/zero over the group axis -> mul-add -> cast),
+    ~6 VPU passes over 1.2G elements per 2B decode step — that VPU work,
+    not HBM traffic, capped int4 decode at 339 tok/s. Here the matmul is
+    split per quantization group g:
+
+        out = sum_g (x_g @ q_g) * s[g]  +  (sum_k x_g) @ zero
+              [MXU, raw codes]           [(M,G) @ (G,Nt) MXU]
+
+    so the per-element work is ONLY the nibble unpack + cast; scale lands
+    on (M, Nt) partials and zero-points on per-group activation sums.
+
+    bittrick: splice the nibble into an fp32 mantissa via bitcast
+    (X = bitcast(0x43800000 | q<<19) = 256 + 16q, exact in bf16 — 4
+    mantissa bits) instead of an int->float cast; the kernel rescales
+    s/16 and z-16s, so the stored checkpoint format is unchanged.
+    """
+    p = p_ref[0] if stacked else p_ref[...]
+    s = s_ref[0] if stacked else s_ref[...]
+    z = z_ref[0] if stacked else z_ref[...]
+    x = x_ref[...]  # (M, K) bf16
+
+    pi = p.astype(jnp.int32)
+    if bittrick:
+        hi = jax.lax.bitcast_convert_type(
+            ((pi << 15) & 0x00780000) | 0x43800000, jnp.float32
+        ).astype(jnp.bfloat16)
+        lo = jax.lax.bitcast_convert_type(
+            ((pi << 19) & 0x00780000) | 0x43800000, jnp.float32
+        ).astype(jnp.bfloat16)
+        s_eff = s * jnp.float32(1.0 / 16.0)
+        z_eff = z - 16.0 * s
+    else:
+        hi = (pi >> 4).astype(jnp.float32).astype(jnp.bfloat16)
+        lo = (pi & 0x0F).astype(jnp.float32).astype(jnp.bfloat16)
+        s_eff = s
+        z_eff = z
+    q = jnp.concatenate([hi, lo], axis=0)  # (K, Nt) raw codes
+
+    groups = s.shape[0]
+    glen = k // groups
+    m = x.shape[0]
+    nt = q.shape[-1]
+    acc = jnp.zeros((m, nt), jnp.float32)
+    xs = []
+    for g in range(groups):
+        xg = x[:, g * glen : (g + 1) * glen]
+        part = jax.lax.dot_general(
+            xg, q[g * glen : (g + 1) * glen], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + part * s_eff[g][None, :]
+        xs.append(jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True))
+    xsum = jnp.concatenate(xs, axis=1)  # (M, G)
+    acc = acc + jax.lax.dot_general(
+        xsum, z_eff, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
 def _pick_n_tile(k: int, n: int) -> int:
     """Largest N tile whose working set (packed + dequant scratch, double
     buffered) stays in the VMEM budget."""
@@ -238,8 +306,18 @@ def quantized_matmul(
             (mt, nt), lambda mi, ni, s: (mi, ni), memory_space=pltpu.VMEM
         ),
     )
+    import os as _os
+
+    if _os.environ.get("MOONDREAM_INT4_LEGACY"):
+        kernel = functools.partial(_q_matmul_kernel, k=k, stacked=stacked)
+    else:
+        kernel = functools.partial(
+            _q_matmul_kernel_gd, k=k, stacked=stacked,
+            bittrick=_os.environ.get("MOONDREAM_INT4_UNPACK", "cast")
+            == "bitcast",
+        )
     out = pl.pallas_call(
-        functools.partial(_q_matmul_kernel, k=k, stacked=stacked),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
