@@ -36,6 +36,9 @@ def main():
                         help="serve text weights packed int4 (fused dequant "
                              "kernel); frees ~1.9GB HBM so --batch 16 fits "
                              "(measured 2.83 images/s vs 2.6 at bf16 B=8)")
+    parser.add_argument("--int4-batch", type=int, default=16,
+                        help="batch size for the int4 throughput config "
+                             "(packed weights free ~1.9GB HBM vs bf16)")
     parser.add_argument("--profile", default="",
                         help="write a jax.profiler trace of one caption to "
                              "this directory (view with tensorboard/xprof)")
@@ -227,7 +230,7 @@ def main():
     # ---- int4 serving config: packed weights free ~2GB HBM, so a larger
     # batch fits and each decode step streams 4x less weight traffic.
     int4_imgs_per_sec = None
-    int4_batch = 16
+    int4_batch = args.int4_batch
     if not args.int4 and args.config == "2b":
         try:
             from moondream_tpu.models.text import quantize_text_params
@@ -257,6 +260,7 @@ def main():
                 "int4_b16_images_per_sec": (
                     round(int4_imgs_per_sec, 4) if int4_imgs_per_sec else None
                 ),
+                "int4_batch": int4_batch,
                 "single_image_images_per_sec": round(images_per_sec, 4),
                 "encode_ms_mean": round(encode_ms, 2),
                 "decode_tokens_per_sec": round(tokens_per_sec, 2),
