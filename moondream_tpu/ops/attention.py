@@ -217,85 +217,6 @@ def _flash_attention_kvtiled(
 FLASH_KV_TILE_THRESHOLD = 1024
 
 
-def _flash_qkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[0]  # (T, D)
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale + bias_ref[...]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m).astype(v.dtype)
-    denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
-    o_ref[0] = o.astype(o_ref.dtype)
-
-
-def flash_attention_qkv(
-    qkv: jax.Array,
-    n_heads: int,
-    valid: int,
-    interpret: bool = False,
-) -> jax.Array:
-    """Self-attention reading q/k/v straight from the fused (B, T, 3*H*D)
-    qkv projection via lane-block index maps — the (B,T,H,D)->(B,H,T,D)
-    transposes of the generic wrapper (and the inverse on the output) never
-    happen; each program DMAs its head's (T, D) lane block of the
-    activation directly and writes its output lane block of (B, T, H*D).
-
-    Bidirectional over the first `valid` tokens (the ViT pattern: tokens
-    past `valid` are padding and masked out). The additive mask bias is
-    built ONCE in XLA and shared by every program as a constant-index
-    block, so the per-program VPU work is exactly scores+softmax+PV.
-
-    Returns (B, T, H*D) ready for the output projection.
-    """
-    b, t, w3 = qkv.shape
-    d_model = w3 // 3
-    d = d_model // n_heads
-    assert w3 % (3 * n_heads) == 0
-    scale = 1.0 / (d**0.5)
-
-    tp = _ceil_to(t, 128)
-    if tp != t:
-        qkv = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
-
-    cols = jnp.arange(tp, dtype=jnp.int32)
-    bias = jnp.where(cols < valid, jnp.float32(0), jnp.float32(-1e30))
-    bias = jnp.broadcast_to(bias[None, :], (tp, tp))
-
-    h = n_heads
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, tp, d), lambda i: (i // h, 0, i % h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, d), lambda i: (i // h, 0, h + i % h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, d), lambda i: (i // h, 0, 2 * h + i % h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tp, tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tp, d), lambda i: (i // h, 0, i % h), memory_space=pltpu.VMEM
-        ),
-    )
-    out = pl.pallas_call(
-        functools.partial(_flash_qkv_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, tp, d_model), qkv.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * h * tp * tp * d,
-            bytes_accessed=b * tp * w3 * 2 + b * tp * d_model * 2,
-            transcendentals=b * h * tp * tp,
-        ),
-    )(qkv, qkv, qkv, bias)
-    return out[:, :t] if tp != t else out
-
-
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

@@ -109,20 +109,12 @@ def attn(x: jax.Array, w: dict, n_heads: int) -> jax.Array:
     (reference layers.py:155-166). x: (B, T, D). Runs the fused Pallas
     flash kernel on TPU (pos=0, prefix=T makes the unified mask rule fully
     bidirectional); XLA sdpa elsewhere."""
-    import os
-
-    from .attention import _use_pallas, attention, flash_attention_qkv
+    from .attention import attention
 
     bsz, seq, d_model = x.shape
     head_dim = d_model // n_heads
 
     qkv = linear(x, w["qkv"])  # (B, T, 3D)
-    if os.environ.get("MOONDREAM_VIT_FUSED_ATTN") and _use_pallas():
-        # transpose-free path: the kernel reads each head's lane block of
-        # the fused qkv activation directly and writes its output lane
-        # block of (B, T, D) — no (B,T,H,D)<->(B,H,T,D) relayouts
-        out = flash_attention_qkv(qkv, n_heads, valid=seq)
-        return linear(out, w["proj"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
     k = k.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)

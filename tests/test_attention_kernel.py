@@ -298,27 +298,3 @@ def test_decode_cached_paired_kv_bound():
     )
     ref = _xla(q[:, :, :, :], k[0][:, :, :256], v[0][:, :, :256], 200, 0)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
-
-
-# ------------------------------------------------ fused-qkv ViT attention
-def test_flash_qkv_matches_generic():
-    """flash_attention_qkv reads heads from the fused (B,T,3D) activation
-    via lane-block index maps — outputs must match the generic
-    split/transpose path (ViT shape, padded tokens masked)."""
-    from moondream_tpu.ops.attention import flash_attention_qkv
-
-    rng = np.random.default_rng(11)
-    b, h, t, d = 2, 4, 100, 72
-    d_model = h * d
-    qkv = (rng.standard_normal((b, t, 3 * d_model)) * 0.3).astype(np.float32)
-    q, k, v = np.split(qkv, 3, axis=-1)
-
-    def heads(x):
-        return x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
-
-    ref = _xla(heads(q), heads(k), heads(v), 0, t)  # (B, H, T, D)
-    ref = ref.transpose(0, 2, 1, 3).reshape(b, t, d_model)
-    got = np.asarray(
-        flash_attention_qkv(jnp.asarray(qkv), h, valid=t, interpret=True)
-    )
-    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
