@@ -173,33 +173,40 @@ def _q_matmul_kernel_gd(
     z = z_ref[0] if stacked else z_ref[...]
     x = x_ref[...]  # (M, K) bf16
 
-    pi = p.astype(jnp.int32)
     if bittrick:
-        hi = jax.lax.bitcast_convert_type(
-            ((pi << 15) & 0x00780000) | 0x43800000, jnp.float32
-        ).astype(jnp.bfloat16)
-        lo = jax.lax.bitcast_convert_type(
-            ((pi << 19) & 0x00780000) | 0x43800000, jnp.float32
-        ).astype(jnp.bfloat16)
         s_eff = s * jnp.float32(1.0 / 16.0)
         z_eff = z - 16.0 * s
     else:
-        hi = (pi >> 4).astype(jnp.float32).astype(jnp.bfloat16)
-        lo = (pi & 0x0F).astype(jnp.float32).astype(jnp.bfloat16)
         s_eff = s
         z_eff = z
-    q = jnp.concatenate([hi, lo], axis=0)  # (K, Nt) raw codes
 
     groups = s.shape[0]
     glen = k // groups
+    half = groups // 2  # groups in the hi-nibble half (pack puts code rows
+    # 0..K/2 in the high nibbles of packed rows 0..K/2)
     m = x.shape[0]
-    nt = q.shape[-1]
+    nt = p.shape[-1]
     acc = jnp.zeros((m, nt), jnp.float32)
     xs = []
+    # per-group unpack: the live dequant scratch is one (glen, Nt) slab,
+    # not the whole (K, Nt) matrix — a full materialization blows the
+    # 16MB VMEM stack at prefill tile sizes (M=256, K=8192)
     for g in range(groups):
+        if g < half:
+            pg = p[g * glen : (g + 1) * glen].astype(jnp.int32)
+            code = pg >> 4
+        else:
+            pg = p[(g - half) * glen : (g - half + 1) * glen].astype(jnp.int32)
+            code = pg & 0x0F
+        if bittrick:
+            qg = jax.lax.bitcast_convert_type(
+                (code << 19) | 0x43800000, jnp.float32
+            ).astype(jnp.bfloat16)
+        else:
+            qg = code.astype(jnp.float32).astype(jnp.bfloat16)
         xg = x[:, g * glen : (g + 1) * glen]
         part = jax.lax.dot_general(
-            xg, q[g * glen : (g + 1) * glen], (((1,), (0,)), ((), ())),
+            xg, qg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc = acc + part * s_eff[g][None, :]
