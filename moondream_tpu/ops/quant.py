@@ -264,8 +264,10 @@ def quantized_matmul(
     groups = qw["scale"].shape[-2]
     scalars = jnp.asarray([0 if layer is None else layer], jnp.int32)
 
-    # tile M for big prefill batches; decode (M <= ~16) is one tile
-    mt = min(_ceil_to(m, 8), 256)
+    # tile M for big prefill batches; decode (M <= ~16) is one tile.
+    # K=8192 halves the M tile: the (mt, K) x block double-buffers against
+    # a 16MB VMEM stack alongside the packed weights and group scratch.
+    mt = min(_ceil_to(m, 8), 256 if k <= 4096 else 128)
     m_pad = _ceil_to(m, mt)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
