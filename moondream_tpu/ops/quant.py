@@ -260,6 +260,30 @@ def quantized_matmul(
             w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
+    if m >= 512 and not interpret:
+        # Prefill-sized M: the kernel's grid re-unpacks the same weight
+        # tile for every M block (M=12k rows -> ~96x redundant dequant VPU
+        # work). Slice the packed layer, dequantize ONCE in XLA (one pass,
+        # 25MB bf16 materialized), and run the dot at full MXU throughput.
+        # Decode/serving (M <= 32) stays on the fused kernel, where weights
+        # are read exactly once and never materialized.
+        if stacked:
+            qw_l = {
+                "packed": jax.lax.dynamic_index_in_dim(
+                    qw["packed"], layer, 0, keepdims=False
+                ),
+                "scale": jax.lax.dynamic_index_in_dim(
+                    qw["scale"], layer, 0, keepdims=False
+                ),
+                "zero": jax.lax.dynamic_index_in_dim(
+                    qw["zero"], layer, 0, keepdims=False
+                ),
+            }
+        else:
+            qw_l = qw
+        w = dequantize_weight(qw_l, x.dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
     nt = _pick_n_tile(k, n)
     groups = qw["scale"].shape[-2]
     scalars = jnp.asarray([0 if layer is None else layer], jnp.int32)
