@@ -42,11 +42,13 @@ def main():
     parser.add_argument("--profile", default="",
                         help="write a jax.profiler trace of one caption to "
                              "this directory (view with tensorboard/xprof)")
-    parser.add_argument("--batch", type=int, default=8,
-                        help="batch size for the throughput (lockstep) config. "
-                             "8 fits v5e-1 HBM alongside the bf16 2B weights; "
-                             "after an OOM the TPU backend stays poisoned, so "
-                             "the in-process fallback only guards sizes > 8")
+    parser.add_argument("--batch", type=int, default=12,
+                        help="batch size for the throughput (pipelined) "
+                             "config. 12 fits v5e-1 HBM alongside the bf16 2B "
+                             "weights with two in-flight caches (measured "
+                             "4.72 img/s vs 4.40 at 8); after an OOM the TPU "
+                             "backend stays poisoned, so the in-process "
+                             "fallback only guards sizes > 8")
     args = parser.parse_args()
 
     import os
