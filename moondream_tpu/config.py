@@ -30,6 +30,10 @@ class TextConfig:
     # XLA partitions sdpa across the mesh, while an opaque kernel call
     # would not partition. Static, so it keys distinct jit traces.
     xla_attn: bool = False
+    # Store the KV cache as int8 codes with per-(token, cache-row) fp32
+    # scales — halves decode's dominant HBM traffic at large batch. Opt-in
+    # (slight numeric drift vs bf16 caches); static, keys jit traces.
+    kv_int8: bool = False
 
     @property
     def head_dim(self) -> int:

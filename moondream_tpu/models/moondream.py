@@ -53,11 +53,37 @@ PROMPT_PAD = 8
 
 @dataclass(frozen=True)
 class EncodedImage:
-    """KV snapshot after prefilling [BOS, image] (reference moondream.py:56-59)."""
+    """KV snapshot after prefilling [BOS, image] (reference moondream.py:56-59).
+
+    With config.text.kv_int8, `k`/`v` hold int8 codes and `ks`/`vs` the
+    per-(token, cache-row) fp32 scales (see models.text.KVCache)."""
 
     pos: int
     k: jax.Array  # (L, 1, H_kv, pos, Dh)
     v: jax.Array
+    ks: Optional[jax.Array] = None  # (L, 1, H_kv/pf, pos, 1)
+    vs: Optional[jax.Array] = None
+
+    def as_cache(self) -> KVCache:
+        return KVCache(k=self.k, v=self.v, ks=self.ks, vs=self.vs)
+
+
+def _snap_enc(kv: KVCache, pos: int, b: Optional[int] = None) -> "EncodedImage":
+    """Slice one image's KV snapshot out of a (possibly batched) cache."""
+    bs = slice(None) if b is None else slice(b, b + 1)
+    sl = lambda a: None if a is None else a[:, bs, :, :pos, :]
+    return EncodedImage(pos=pos, k=sl(kv.k), v=sl(kv.v), ks=sl(kv.ks), vs=sl(kv.vs))
+
+
+def _concat_enc_kv(encs: List["EncodedImage"]) -> KVCache:
+    """Stack per-image snapshots along the batch axis as a cache pytree."""
+    cat = lambda xs: None if xs[0] is None else jnp.concatenate(xs, axis=1)
+    return KVCache(
+        k=cat([e.k for e in encs]),
+        v=cat([e.v for e in encs]),
+        ks=cat([e.ks for e in encs]),
+        vs=cat([e.vs for e in encs]),
+    )
 
 
 def _ceil_to(n: int, m: int) -> int:
@@ -252,10 +278,13 @@ class MoondreamModel:
 
     def _load_kv_fn(self):
         def build():
-            def run(buf: KVCache, k_snap, v_snap):
-                k = jax.lax.dynamic_update_slice(buf.k, k_snap, (0, 0, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(buf.v, v_snap, (0, 0, 0, 0, 0))
-                return KVCache(k, v)
+            def run(buf: KVCache, snap: KVCache):
+                return jax.tree.map(
+                    lambda b, s: jax.lax.dynamic_update_slice(
+                        b, s, (0,) * b.ndim
+                    ),
+                    buf, snap,
+                )
 
             return jax.jit(run, donate_argnums=(0,))
 
@@ -328,17 +357,18 @@ class MoondreamModel:
 
     def _load_kv_batched_fn(self, batch: int, slots: Optional[int] = None):
         def build():
-            def run(buf: KVCache, k_snap, v_snap):
-                k = jax.lax.dynamic_update_slice(buf.k, k_snap, (0, 0, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(buf.v, v_snap, (0, 0, 0, 0, 0))
-                return KVCache(k, v)
+            def run(buf: KVCache, snap: KVCache):
+                return jax.tree.map(
+                    lambda b, s: jax.lax.dynamic_update_slice(
+                        b, s, (0,) * b.ndim
+                    ),
+                    buf, snap,
+                )
 
             return jax.jit(run, donate_argnums=(0,))
 
         load = self._jit(("load_kv_b", batch, slots), build)
-        return lambda k_snap, v_snap: load(
-            self._take_kv_buffer(batch, slots), k_snap, v_snap
-        )
+        return lambda snap: load(self._take_kv_buffer(batch, slots), snap)
 
     # ------------------------------------------------------------- tokenize
     def _encode_text(self, text: str) -> List[int]:
@@ -442,9 +472,7 @@ class MoondreamModel:
             self.params["text"], kv, embeds,
             jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
         )
-        enc = EncodedImage(
-            pos=seq, k=kv.k[:, :, :, :seq, :], v=kv.v[:, :, :, :seq, :]
-        )
+        enc = _snap_enc(kv, seq)
         self._recycle_kv(kv)
         return enc
 
@@ -488,7 +516,7 @@ class MoondreamModel:
         """Materialize a working KV cache from a snapshot (functional analog
         of reference moondream.py:620-623). Reuses a pooled buffer when one
         is available so restore costs only the snapshot write."""
-        return self._load_kv_fn()(self._take_kv_buffer(1), encoded.k, encoded.v)
+        return self._load_kv_fn()(self._take_kv_buffer(1), encoded.as_cache())
 
     # ------------------------------------------------------------- prefill
     def _variant(self, settings) -> Optional[dict]:
@@ -923,14 +951,7 @@ class MoondreamModel:
             self.params["text"], kv, embeds,
             jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
         )
-        encs = [
-            EncodedImage(
-                pos=seq,
-                k=kv.k[:, b : b + 1, :, :seq, :],
-                v=kv.v[:, b : b + 1, :, :seq, :],
-            )
-            for b in range(bsz)
-        ]
+        encs = [_snap_enc(kv, seq, b) for b in range(bsz)]
         self._recycle_kv(kv, bsz)
         return encs
 
@@ -979,10 +1000,7 @@ class MoondreamModel:
         # right-size the batched cache to the session bound: a 2048-slot
         # batch-8 2B cache is 3.2GB; typical caption sessions fit in half
         bound = self._decode_bound(pos + pad + max_tokens + 1)
-        kv = self._load_kv_batched_fn(bsz, bound)(
-            jnp.concatenate([e.k for e in encs], axis=1),
-            jnp.concatenate([e.v for e in encs], axis=1),
-        )
+        kv = self._load_kv_batched_fn(bsz, bound)(_concat_enc_kv(encs))
         ids_padded = ids + [0] * (pad - length)
         emb = jnp.broadcast_to(
             self.params["text"]["wte"][jnp.asarray(ids_padded)][None],
@@ -1104,10 +1122,7 @@ class MoondreamModel:
 
         pos = encs[0].pos
         bound = self._kv_bound(pos + pad + 4)
-        kv = self._load_kv_batched_fn(B, bound)(
-            jnp.concatenate([e.k for e in encs], axis=1),
-            jnp.concatenate([e.v for e in encs], axis=1),
-        )
+        kv = self._load_kv_batched_fn(B, bound)(_concat_enc_kv(encs))
         logits, hidden, kv = self._prefill_batched_fn(bound)(
             self.params["text"], kv, embeds,
             jnp.int32(pos), jnp.int32(length),

@@ -53,6 +53,12 @@ class ContinuousBatchingEngine:
     ):
         self.model = model
         self.config = model.config.text
+        if self.config.kv_int8:
+            raise NotImplementedError(
+                "ContinuousBatchingEngine does not support kv_int8 caches "
+                "yet; use the lockstep batched engine, or a bf16-cache "
+                "config for serving."
+            )
         self.n_slots = n_slots
         self.slot_len = min(slot_len, self.config.max_context)
         self.chunk = chunk

@@ -83,10 +83,19 @@ def unpair_kv(x: jax.Array, pf: int) -> jax.Array:
 class KVCache(NamedTuple):
     """Per-model KV cache: arrays of shape (L, B, H_kv/pf, T, pf*Dh) where
     pf = kv_pair_factor(config) (1 for GQA / sharded configs — then the
-    layout is the plain (L, B, H_kv, T, Dh))."""
+    layout is the plain (L, B, H_kv, T, Dh)).
+
+    With config.kv_int8, `k`/`v` hold int8 codes and `ks`/`vs` hold the
+    per-(token, cache-row) fp32 scales (L, B, H_kv/pf, T, 1): x ~ code *
+    scale. Decode's dominant HBM traffic at large batch is the cache read;
+    int8 halves it. The decode kernel never dequantizes element-wise in
+    fp32 — codes feed the MXU as bf16 and the scales ride the
+    sublane-aligned (T, 1) broadcast."""
 
     k: jax.Array
     v: jax.Array
+    ks: Optional[jax.Array] = None
+    vs: Optional[jax.Array] = None
 
     @classmethod
     def create(
@@ -107,7 +116,28 @@ class KVCache(NamedTuple):
             slots if slots is not None else config.max_context,
             pf * config.head_dim,
         )
+        if config.kv_int8:
+            sshape = shape[:-1] + (1,)
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                ks=jnp.zeros(sshape, jnp.float32),
+                vs=jnp.zeros(sshape, jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8: x (..., T, D) -> (codes int8, scale f32
+    (..., T, 1)); x ~ codes * scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return codes.astype(jnp.int8), scale
+
+
+def dequantize_kv(codes: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
+    return (codes.astype(jnp.float32) * scale).astype(dtype)
 
 
 def text_encoder(input_ids: jax.Array, w: dict) -> jax.Array:
@@ -193,8 +223,7 @@ def attn_with_cache(
     x: jax.Array,
     w: dict,
     freqs_cis: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv: "KVCache",
     layer: jax.Array,
     pos: jax.Array,
     prefix_len: jax.Array,
@@ -202,11 +231,12 @@ def attn_with_cache(
     lora: Optional[dict],
     kv_bound: Optional[int] = None,
     quant: Optional[dict] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, "KVCache"]:
     """One attention layer reading/updating the FULL stacked KV cache.
 
-    x: (B, T, D) pre-normed input; k_cache/v_cache: (L, B, H_kv, max_ctx,
-    Dh) whole-model caches with `layer` a traced index; pos: scalar start
+    x: (B, T, D) pre-normed input; kv: whole-model KVCache (head-paired,
+    optionally int8 with per-row scales) with `layer` a traced index;
+    pos: scalar start
     position (prefill and decode both write contiguous spans); prefix_len:
     bidirectional-prefix length (730 after an image, 0 for pure causal) —
     masking follows the unified rule in ops.attention. `kv_bound` (static)
@@ -235,24 +265,53 @@ def attn_with_cache(
     q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
     k = apply_rotary_emb(k, freqs_cis, position_ids, config.rope_dim)
 
-    pf = k_cache.shape[-1] // config.head_dim  # head-paired cache layout
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, pair_kv(k, pf).astype(k_cache.dtype)[None], (layer, 0, 0, pos, 0)
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, pair_kv(v, pf).astype(v_cache.dtype)[None], (layer, 0, 0, pos, 0)
-    )
-
-    if q_len == 1 and _use_pallas() and not config.xla_attn:
-        out = decode_attention_cached(
-            q, k_cache, v_cache, layer, pos, prefix_len, kv_bound
+    pf = kv.k.shape[-1] // config.head_dim  # head-paired cache layout
+    int8 = kv.ks is not None
+    kp = pair_kv(k, pf)
+    vp = pair_kv(v, pf)
+    idx = (layer, 0, 0, pos, 0)
+    if int8:
+        kc, ksc = quantize_kv(kp)
+        vc, vsc = quantize_kv(vp)
+        kv = KVCache(
+            k=jax.lax.dynamic_update_slice(kv.k, kc[None], idx),
+            v=jax.lax.dynamic_update_slice(kv.v, vc[None], idx),
+            ks=jax.lax.dynamic_update_slice(kv.ks, ksc[None], idx),
+            vs=jax.lax.dynamic_update_slice(kv.vs, vsc[None], idx),
         )
     else:
-        k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        kv = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                kv.k, kp.astype(kv.k.dtype)[None], idx
+            ),
+            v=jax.lax.dynamic_update_slice(
+                kv.v, vp.astype(kv.v.dtype)[None], idx
+            ),
+        )
+
+    # int8 decode kernel exists only for the head-paired layout (pf > 1);
+    # GQA/sharded configs (pf == 1) dequantize through the XLA branch.
+    if (q_len == 1 and _use_pallas() and not config.xla_attn
+            and not (int8 and pf == 1)):
+        out = decode_attention_cached(
+            q, kv.k, kv.v, layer, pos, prefix_len, kv_bound,
+            k_scale=kv.ks, v_scale=kv.vs,
+        )
+    else:
+        k_l = jax.lax.dynamic_index_in_dim(kv.k, layer, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(kv.v, layer, 0, keepdims=False)
+        if int8:
+            ks_l = jax.lax.dynamic_index_in_dim(kv.ks, layer, 0, keepdims=False)
+            vs_l = jax.lax.dynamic_index_in_dim(kv.vs, layer, 0, keepdims=False)
         if kv_bound is not None:
             k_l = k_l[:, :, :kv_bound]
             v_l = v_l[:, :, :kv_bound]
+            if int8:
+                ks_l = ks_l[:, :, :kv_bound]
+                vs_l = vs_l[:, :, :kv_bound]
+        if int8:
+            k_l = dequantize_kv(k_l, ks_l, q.dtype)
+            v_l = dequantize_kv(v_l, vs_l, q.dtype)
         k_l = unpair_kv(k_l, pf)
         v_l = unpair_kv(v_l, pf)
         out = attention(q, k_l, v_l, pos, prefix_len, force_xla=config.xla_attn)
@@ -265,7 +324,7 @@ def attn_with_cache(
         )
     else:
         out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
-    return out, k_cache, v_cache
+    return out, kv
 
 
 def attn_uncached(
@@ -323,12 +382,12 @@ def text_decoder(
     blocks_q = w.get("blocks_q")
 
     def block(carry, layer_in):
-        h, k_cache, v_cache = carry
+        h, kv = carry
         bw, lora_l, steer_l, lidx = layer_in
         lora_mlp = lora_l.get("mlp") if lora_l else None
         ln_in = layer_norm(h, bw["ln"])
-        attn_out, k_cache, v_cache = attn_with_cache(
-            ln_in, bw["attn"], w["freqs_cis"], k_cache, v_cache, lidx, pos,
+        attn_out, kv = attn_with_cache(
+            ln_in, bw["attn"], w["freqs_cis"], kv, lidx, pos,
             prefix_len, config, lora_l.get("attn") if lora_l else None,
             kv_bound, quant=blocks_q["attn"] if blocks_q else None,
         )
@@ -349,13 +408,11 @@ def text_decoder(
         h = h + attn_out + mlp_out
         if steer_l is not None:
             h = h + steer_l.astype(h.dtype)
-        return (h, k_cache, v_cache), None
+        return (h, kv), None
 
     xs = (w["blocks"], lora, steer, jnp.arange(n_layers, dtype=jnp.int32))
-    (hidden, new_k, new_v), _ = jax.lax.scan(
-        block, (x, kv_cache.k, kv_cache.v), xs
-    )
-    return hidden, KVCache(new_k, new_v)
+    (hidden, new_kv), _ = jax.lax.scan(block, (x, kv_cache), xs)
+    return hidden, new_kv
 
 
 def prefix_attn_mask(q_len: int, prefix: int) -> jnp.ndarray:

@@ -455,6 +455,8 @@ def decode_attention_cached(
     prefix,
     kv_bound: Optional[int] = None,
     interpret: bool = False,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-token decode attention reading ONE layer of the full stacked
     KV cache (L, B, Hkv, T, D) — the layer is selected by the block index
@@ -474,8 +476,10 @@ def decode_attention_cached(
     L, _, hkv, t_max, d_cache = k_cache.shape
     if d_cache != d:
         return _decode_attention_paired(
-            q, k_cache, v_cache, layer, pos, prefix, kv_bound, interpret
+            q, k_cache, v_cache, layer, pos, prefix, kv_bound, interpret,
+            k_scale, v_scale,
         )
+    assert k_scale is None, "int8 KV requires the head-paired layout"
     assert tq == 1 and hq % hkv == 0
     rep = hq // hkv
     scale = 1.0 / (d**0.5)
@@ -550,7 +554,7 @@ def decode_attention_cached(
 
 
 def _decode_kernel_paired(
-    scalars_ref, q2_ref, k_ref, v_ref, o_ref, *, scale, ragged, ht, hp
+    scalars_ref, q2_ref, k_ref, v_ref, *rest, scale, ragged, ht, hp
 ):
     """Head-paired decode attention: `pf` adjacent MHA heads share one cache
     row on the lane axis (lane block j of width dh belongs to head pf*i+j),
@@ -566,6 +570,11 @@ def _decode_kernel_paired(
     (PT, pf, pf*dh) where row j's lane block j holds head pf*p+j's output;
     the wrapper's o layout (PT, pf, dh) is exactly flattened head order.
     """
+    if len(rest) == 3:
+        ks_ref, vs_ref, o_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        (o_ref,) = rest
     if ragged:
         prefix = scalars_ref[0]
         i = pl.program_id(0)
@@ -576,8 +585,15 @@ def _decode_kernel_paired(
         prefix = scalars_ref[1]
 
     q2 = q2_ref[...]  # (HT, pf, pf*dh)
-    k = k_ref[0, 0]   # (HT, T, pf*dh)
-    v = v_ref[0, 0]
+    if ks_ref is None:
+        k = k_ref[0, 0]   # (HT, T, pf*dh)
+        v = v_ref[0, 0]
+    else:
+        # int8 cache: codes * per-(token,row) scale. The (T, 1) scale
+        # broadcasts along lanes — sublane-aligned with the (T, pf*dh)
+        # code rows, so no transposes.
+        k = (k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]).astype(q2.dtype)
+        v = (v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]).astype(q2.dtype)
     pf = q2.shape[1]
     dh = q2.shape[2] // pf
 
@@ -621,11 +637,13 @@ def _paired_q2(q: jax.Array, pf: int) -> jax.Array:
 
 
 def _decode_attention_paired(
-    q, k_cache, v_cache, layer, pos, prefix, kv_bound, interpret
+    q, k_cache, v_cache, layer, pos, prefix, kv_bound, interpret,
+    k_scale=None, v_scale=None,
 ) -> jax.Array:
     """Stacked-cache decode attention over the head-paired layout
     (L, B, Hkv/pf, T, pf*dh). Dispatched from decode_attention_cached when
-    the cache lane width exceeds the query head_dim (MHA only)."""
+    the cache lane width exceeds the query head_dim (MHA only). With
+    k_scale/v_scale (L, B, Hkv/pf, T, 1), the cache holds int8 codes."""
     b, hq, tq, d = q.shape
     L, _, hp_c, t_max, dd = k_cache.shape
     pf = dd // d
@@ -634,10 +652,13 @@ def _decode_attention_paired(
     tk = t_max if kv_bound is None else min(kv_bound, t_max)
     tk = _ceil_to(tk, 128) if tk % 128 else tk
     tk = min(tk, t_max)
+    int8 = k_scale is not None
 
     hp = b * hp_c  # flattened pair rows
     vmem_budget = 12 * 1024 * 1024
-    ht = max(1, vmem_budget // (2 * 2 * tk * max(dd, 128) * 2))
+    # int8 blocks dequantize to fp32 scratch in-kernel: budget 4B/elem
+    elt = 4 if int8 else 2
+    ht = max(1, vmem_budget // (2 * 2 * tk * max(dd, 128) * elt))
     ht = min(hp_c, 1 << (ht.bit_length() - 1))
     while hp_c % ht:
         ht //= 2
@@ -663,16 +684,24 @@ def _decode_attention_paired(
         h0 = (i * ht) % hp_c
         return (s[layer_slot], bi, h0 // ht, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec(
+            (ht, pf, dd), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, 1, ht, tk, dd), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ht, tk, dd), kv_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [q2, k_cache, v_cache]
+    if int8:
+        in_specs += [
+            pl.BlockSpec((1, 1, ht, tk, 1), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ht, tk, 1), kv_index, memory_space=pltpu.VMEM),
+        ]
+        operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (ht, pf, dd), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1, ht, tk, dd), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ht, tk, dd), kv_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (ht, 1, dd), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -686,10 +715,11 @@ def _decode_attention_paired(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * hq * tk * d,
-            bytes_accessed=2 * hp * tk * dd * 2 + b * hq * d * 2,
+            bytes_accessed=2 * hp * tk * dd * (1 if int8 else 2)
+            + b * hq * d * 2,
             transcendentals=b * hq * tk,
         ),
-    )(scalars, q2, k_cache, v_cache)
+    )(scalars, *operands)
     # unpair: (b*hp_c, 1, pf*d) rows hold pf heads side by side on lanes;
     # with Tq=1 the unpair is a pure reshape (size-1 axis swap is free)
     return out.reshape(b, hp_c, pf, 1, d).reshape(b, hq, 1, d)

@@ -33,9 +33,12 @@ from ..models.text import KVCache
 from .mesh import text_param_shardings
 
 
-def kv_cache_sharding(mesh: Mesh) -> KVCache:
-    """(L, B, Hkv, T, D): batch on dp, heads on tp."""
+def kv_cache_sharding(mesh: Mesh, config: Optional[TextConfig] = None) -> KVCache:
+    """(L, B, Hkv, T, D): batch on dp, heads on tp. With config.kv_int8 the
+    per-row scale arrays shard identically (their head axis matches)."""
     spec = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    if config is not None and config.kv_int8:
+        return KVCache(k=spec, v=spec, ks=spec, vs=spec)
     return KVCache(k=spec, v=spec)
 
 
@@ -55,7 +58,7 @@ class ShardedTextEngine:
             mesh, MoondreamConfig(text=self.config)
         )
         self.params = jax.device_put(text_params, shardings)
-        self._kv_sharding = kv_cache_sharding(mesh)
+        self._kv_sharding = kv_cache_sharding(mesh, self.config)
         self._jits = {}
 
     def create_cache(self, batch: int = 1, dtype=jnp.bfloat16) -> KVCache:

@@ -100,7 +100,8 @@ def models(tmp_path_factory):
         region=replace(cfg.region, dim=128),
     )
     cfg_dict = cfg.to_dict()
-    cfg_dict["text"].pop("xla_attn", None)  # TPU-only field
+    for tpu_only in ("xla_attn", "kv_int8"):  # TPU-only fields
+        cfg_dict["text"].pop(tpu_only, None)
 
     ref_md.Tokenizer = _RefTokenizerShim
 
