@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--int4-batch", type=int, default=16,
                         help="batch size for the int4 throughput config "
                              "(packed weights free ~1.9GB HBM vs bf16)")
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="store the KV cache as int8 codes + per-row "
+                             "scales (config.text.kv_int8): halves decode's "
+                             "cache-read HBM traffic and cache HBM footprint")
+    parser.add_argument("--skip-int4", action="store_true",
+                        help="skip the int4 throughput config (faster A/B "
+                             "runs of the bf16 pipelined config)")
     parser.add_argument("--profile", default="",
                         help="write a jax.profiler trace of one caption to "
                              "this directory (view with tensorboard/xprof)")
@@ -74,6 +81,13 @@ def main():
     from functools import partial
 
     config = MOONDREAM_2B if args.config == "2b" else MOONDREAM_05B
+    if args.kv_int8:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, text=dataclasses.replace(config.text, kv_int8=True)
+        )
+        log("KV cache: int8 codes + per-row scales")
     log(f"building {args.config} model (random weights, bf16)...")
     t0 = time.perf_counter()
     model = MoondreamModel(config, tokenizer=ByteTokenizer(), seed=0)
@@ -239,7 +253,7 @@ def main():
     # batch fits and each decode step streams 4x less weight traffic.
     int4_imgs_per_sec = None
     int4_batch = args.int4_batch
-    if not args.int4 and args.config == "2b":
+    if not args.int4 and not args.skip_int4 and args.config == "2b":
         try:
             from moondream_tpu.models.text import quantize_text_params
 

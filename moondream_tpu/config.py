@@ -166,9 +166,18 @@ class MoondreamConfig:
         with open(path, "r") as f:
             return cls.from_dict(json.load(f))
 
+    # Runtime execution switches, not model schema: excluded from to_dict
+    # so exported configs stay loadable by the reference implementation
+    # (reference config.py:68-95 has no such fields). from_dict still
+    # accepts them when present.
+    _RUNTIME_TEXT_FIELDS = ("xla_attn", "kv_int8")
+
     def to_dict(self) -> dict:
+        text = dict(self.text.__dict__)
+        for f in self._RUNTIME_TEXT_FIELDS:
+            text.pop(f, None)
         return {
-            "text": dict(self.text.__dict__),
+            "text": text,
             "vision": dict(self.vision.__dict__),
             "region": dict(self.region.__dict__),
             "tokenizer": dict(self.tokenizer.__dict__),

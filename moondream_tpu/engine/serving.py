@@ -35,14 +35,13 @@ def _ragged_attn(
     x: jax.Array,
     w: dict,
     freqs_cis: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv: KVCache,
     layer: jax.Array,
     pos: jax.Array,  # (S,) per-row positions
     config: TextConfig,
     kv_bound: Optional[int],
     quant: Optional[dict] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, KVCache]:
     """One ragged decode attention layer: per-row positions everywhere."""
     bsz = x.shape[0]
     if quant is not None:
@@ -58,31 +57,59 @@ def _ragged_attn(
     # per-row cache writes (unrolled over the slot pool; S is small).
     # pf > 1: head-paired cache layout (text.pair_kv) — for a single token
     # the pairing is a pure reshape (adjacent heads merge on the lane axis).
-    pf = k_cache.shape[-1] // config.head_dim
+    pf = kv.k.shape[-1] // config.head_dim
     hp = config.n_kv_heads // pf
     dd = pf * config.head_dim
+    int8 = kv.ks is not None
+    k_cache, v_cache, ks_cache, vs_cache = kv.k, kv.v, kv.ks, kv.vs
     for s in range(bsz):
+        k_row = k[s : s + 1].reshape(1, 1, hp, 1, dd)
+        v_row = v[s : s + 1].reshape(1, 1, hp, 1, dd)
+        if int8:
+            k_row, ks_row = text_ops.quantize_kv(k_row)
+            v_row, vs_row = text_ops.quantize_kv(v_row)
+            # scales store T on the last axis; a single token's scale is
+            # (1, 1, hp, 1, 1) either way — only the write offset moves
+            ks_cache = jax.lax.dynamic_update_slice(
+                ks_cache, ks_row, (layer, s, 0, 0, pos[s])
+            )
+            vs_cache = jax.lax.dynamic_update_slice(
+                vs_cache, vs_row, (layer, s, 0, 0, pos[s])
+            )
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache,
-            k[s : s + 1].reshape(1, 1, hp, 1, dd).astype(k_cache.dtype),
-            (layer, s, 0, pos[s], 0),
+            k_cache, k_row.astype(k_cache.dtype), (layer, s, 0, pos[s], 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache,
-            v[s : s + 1].reshape(1, 1, hp, 1, dd).astype(v_cache.dtype),
-            (layer, s, 0, pos[s], 0),
+            v_cache, v_row.astype(v_cache.dtype), (layer, s, 0, pos[s], 0)
         )
+    kv = KVCache(k=k_cache, v=v_cache, ks=ks_cache, vs=vs_cache)
 
-    if _use_pallas() and not config.xla_attn:
+    # int8 decode kernel exists only for the head-paired layout (pf > 1);
+    # GQA/sharded configs dequantize through the XLA branch.
+    if (_use_pallas() and not config.xla_attn and not (int8 and pf == 1)):
         out = decode_attention_cached(
-            q, k_cache, v_cache, layer, pos, jnp.int32(0), kv_bound
+            q, kv.k, kv.v, layer, pos, jnp.int32(0), kv_bound,
+            k_scale=kv.ks, v_scale=kv.vs,
         )
     else:
-        k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        k_l = jax.lax.dynamic_index_in_dim(kv.k, layer, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(kv.v, layer, 0, keepdims=False)
+        if int8:
+            ks_l = jax.lax.dynamic_index_in_dim(kv.ks, layer, 0, keepdims=False)
+            vs_l = jax.lax.dynamic_index_in_dim(kv.vs, layer, 0, keepdims=False)
         if kv_bound is not None:
             k_l = k_l[:, :, :kv_bound]
             v_l = v_l[:, :, :kv_bound]
+            if int8:
+                ks_l = ks_l[:, :, :, :kv_bound]
+                vs_l = vs_l[:, :, :, :kv_bound]
+        if int8:
+            k_l = text_ops.dequantize_kv(
+                k_l, jnp.swapaxes(ks_l, -1, -2), q.dtype
+            )
+            v_l = text_ops.dequantize_kv(
+                v_l, jnp.swapaxes(vs_l, -1, -2), q.dtype
+            )
         k_l = text_ops.unpair_kv(k_l, pf)
         v_l = text_ops.unpair_kv(v_l, pf)
         from ..ops.layers import sdpa
@@ -97,7 +124,7 @@ def _ragged_attn(
         out = text_ops._q_lin(out, quant["proj"], w["proj"]["b"], layer)
     else:
         out = linear(out, w["proj"])
-    return out, k_cache, v_cache
+    return out, kv
 
 
 def ragged_decode_step(
@@ -114,11 +141,11 @@ def ragged_decode_step(
     blocks_q = text_params.get("blocks_q")  # int4 runtime weights (closure)
 
     def block(carry, layer_in):
-        h, k_cache, v_cache = carry
+        h, kv_ = carry
         bw, lidx = layer_in
         ln_in = layer_norm(h, bw["ln"])
-        attn_out, k_cache, v_cache = _ragged_attn(
-            ln_in, bw["attn"], text_params["freqs_cis"], k_cache, v_cache,
+        attn_out, kv_ = _ragged_attn(
+            ln_in, bw["attn"], text_params["freqs_cis"], kv_,
             lidx, pos, config, kv_bound,
             quant=blocks_q["attn"] if blocks_q else None,
         )
@@ -134,14 +161,14 @@ def ragged_decode_step(
             )
         else:
             mlp_out = mlp(ln_in, bw["mlp"])
-        return (h + attn_out + mlp_out, k_cache, v_cache), None
+        return (h + attn_out + mlp_out, kv_), None
 
     xs = (
         text_params["blocks"],
         jnp.arange(config.n_layers, dtype=jnp.int32),
     )
-    (hidden, k_new, v_new), _ = jax.lax.scan(block, (x, kv.k, kv.v), xs)
-    return lm_logits_batched(hidden[:, 0], text_params), KVCache(k_new, v_new)
+    (hidden, kv_new), _ = jax.lax.scan(block, (x, kv), xs)
+    return lm_logits_batched(hidden[:, 0], text_params), kv_new
 
 
 class ServeChunkResult(NamedTuple):
@@ -210,11 +237,12 @@ def serve_chunk(
     )
 
 
-def write_slot(
-    kv_pool: KVCache, k_snap: jax.Array, v_snap: jax.Array, slot: jax.Array
-) -> KVCache:
+def write_slot(kv_pool: KVCache, snap: KVCache, slot: jax.Array) -> KVCache:
     """Copy one request's prefilled KV span into pool slot `slot`.
-    k_snap/v_snap: (L, 1, H, T_span, D)."""
-    k = jax.lax.dynamic_update_slice(kv_pool.k, k_snap, (0, slot, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(kv_pool.v, v_snap, (0, slot, 0, 0, 0))
-    return KVCache(k, v)
+    snap leaves: (L, 1, H, T_span, D) (+ (L, 1, H, T_span, 1) int8 scales)."""
+    return jax.tree.map(
+        lambda pool, s: jax.lax.dynamic_update_slice(
+            pool, s, (0, slot, 0, 0, 0)
+        ),
+        kv_pool, snap,
+    )

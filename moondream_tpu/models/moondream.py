@@ -70,9 +70,11 @@ class EncodedImage:
 
 def _snap_enc(kv: KVCache, pos: int, b: Optional[int] = None) -> "EncodedImage":
     """Slice one image's KV snapshot out of a (possibly batched) cache."""
+    from .text import slice_cache_span
+
     bs = slice(None) if b is None else slice(b, b + 1)
-    sl = lambda a: None if a is None else a[:, bs, :, :pos, :]
-    return EncodedImage(pos=pos, k=sl(kv.k), v=sl(kv.v), ks=sl(kv.ks), vs=sl(kv.vs))
+    snap = slice_cache_span(kv, pos, batch=bs)
+    return EncodedImage(pos=pos, k=snap.k, v=snap.v, ks=snap.ks, vs=snap.vs)
 
 
 def _concat_enc_kv(encs: List["EncodedImage"]) -> KVCache:

@@ -53,12 +53,6 @@ class ContinuousBatchingEngine:
     ):
         self.model = model
         self.config = model.config.text
-        if self.config.kv_int8:
-            raise NotImplementedError(
-                "ContinuousBatchingEngine does not support kv_int8 caches "
-                "yet; use the lockstep batched engine, or a bf16-cache "
-                "config for serving."
-            )
         self.n_slots = n_slots
         self.slot_len = min(slot_len, self.config.max_context)
         self.chunk = chunk
@@ -160,10 +154,10 @@ class ContinuousBatchingEngine:
         budget = min(max_tokens, self.slot_len - pos)
         span = model._kv_bound(pos) or self.config.max_context
         span = min(span, self.slot_len)
-        self.kv = self._write_slot_fn(span)(
-            self.kv, kv1.k[:, :, :, :span, :], kv1.v[:, :, :, :span, :],
-            jnp.int32(slot),
-        )
+        from .text import slice_cache_span
+
+        snap = slice_cache_span(kv1, span)
+        self.kv = self._write_slot_fn(span)(self.kv, snap, jnp.int32(slot))
         model._recycle_kv(kv1)
 
         req_id = self._next_req

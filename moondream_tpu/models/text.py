@@ -86,11 +86,13 @@ class KVCache(NamedTuple):
     layout is the plain (L, B, H_kv, T, Dh)).
 
     With config.kv_int8, `k`/`v` hold int8 codes and `ks`/`vs` hold the
-    per-(token, cache-row) fp32 scales (L, B, H_kv/pf, T, 1): x ~ code *
-    scale. Decode's dominant HBM traffic at large batch is the cache read;
-    int8 halves it. The decode kernel never dequantizes element-wise in
-    fp32 — codes feed the MXU as bf16 and the scales ride the
-    sublane-aligned (T, 1) broadcast."""
+    per-(token, cache-row) fp32 scales stored TRANSPOSED as
+    (L, B, H_kv/pf, 1, T): x ~ code * scale. Decode's dominant HBM traffic
+    at large batch is the cache read; int8 halves it. The T-on-lanes scale
+    layout matches the decode kernel's (heads, T) score plane, so the
+    kernel folds k-scales into scores and v-scales into softmax weights
+    (exact: attention is linear in each row's scale) instead of
+    dequantizing the (T, 128) code blocks element-wise."""
 
     k: jax.Array
     v: jax.Array
@@ -117,7 +119,7 @@ class KVCache(NamedTuple):
             pf * config.head_dim,
         )
         if config.kv_int8:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-2] + (1, shape[-2])
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
@@ -129,7 +131,8 @@ class KVCache(NamedTuple):
 
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-row symmetric int8: x (..., T, D) -> (codes int8, scale f32
-    (..., T, 1)); x ~ codes * scale."""
+    (..., T, 1)); x ~ codes * scale. Cache writers transpose the scale to
+    the (..., 1, T) storage layout via jnp.swapaxes."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax / 127.0, 1e-8)
     codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
@@ -137,7 +140,20 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def dequantize_kv(codes: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
-    return (codes.astype(jnp.float32) * scale).astype(dtype)
+    """codes (..., T, D) * scale (..., T, 1) in the target dtype directly
+    (no fp32 intermediates — this runs over full cache spans in prefill)."""
+    return codes.astype(dtype) * scale.astype(dtype)
+
+
+def slice_cache_span(
+    kv: KVCache, span, batch=slice(None), layer=slice(None)
+) -> KVCache:
+    """Slice [0, span) of the time axis (and optionally a batch range) out
+    of a cache pytree — the time axis is -2 for codes, -1 for the
+    transposed scales."""
+    sl = lambda a: a[layer, batch, :, :span, :]
+    sls = lambda a: None if a is None else a[layer, batch, :, :, :span]
+    return KVCache(k=sl(kv.k), v=sl(kv.v), ks=sls(kv.ks), vs=sls(kv.vs))
 
 
 def text_encoder(input_ids: jax.Array, w: dict) -> jax.Array:
@@ -273,11 +289,16 @@ def attn_with_cache(
     if int8:
         kc, ksc = quantize_kv(kp)
         vc, vsc = quantize_kv(vp)
+        sidx = (layer, 0, 0, 0, pos)  # scales store T on the last axis
         kv = KVCache(
             k=jax.lax.dynamic_update_slice(kv.k, kc[None], idx),
             v=jax.lax.dynamic_update_slice(kv.v, vc[None], idx),
-            ks=jax.lax.dynamic_update_slice(kv.ks, ksc[None], idx),
-            vs=jax.lax.dynamic_update_slice(kv.vs, vsc[None], idx),
+            ks=jax.lax.dynamic_update_slice(
+                kv.ks, jnp.swapaxes(ksc, -1, -2)[None], sidx
+            ),
+            vs=jax.lax.dynamic_update_slice(
+                kv.vs, jnp.swapaxes(vsc, -1, -2)[None], sidx
+            ),
         )
     else:
         kv = KVCache(
@@ -307,11 +328,11 @@ def attn_with_cache(
             k_l = k_l[:, :, :kv_bound]
             v_l = v_l[:, :, :kv_bound]
             if int8:
-                ks_l = ks_l[:, :, :kv_bound]
-                vs_l = vs_l[:, :, :kv_bound]
+                ks_l = ks_l[:, :, :, :kv_bound]
+                vs_l = vs_l[:, :, :, :kv_bound]
         if int8:
-            k_l = dequantize_kv(k_l, ks_l, q.dtype)
-            v_l = dequantize_kv(v_l, vs_l, q.dtype)
+            k_l = dequantize_kv(k_l, jnp.swapaxes(ks_l, -1, -2), q.dtype)
+            v_l = dequantize_kv(v_l, jnp.swapaxes(vs_l, -1, -2), q.dtype)
         k_l = unpair_kv(k_l, pf)
         v_l = unpair_kv(v_l, pf)
         out = attention(q, k_l, v_l, pos, prefix_len, force_xla=config.xla_attn)

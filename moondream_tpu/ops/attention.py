@@ -44,40 +44,57 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _flash_kernel(
+    scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, row_bias: bool
+):
+    """Fused attention over one head tile.
+
+    The fp32 (Tq, Tk) score plane is the VPU bottleneck, so the kernel
+    touches it as few times as possible: scale is folded into q before the
+    MXU dot, the mask bias rides inside the single fused exp pass (which
+    also downcasts probabilities to bf16 — half the write bytes), and the
+    softmax division is deferred to the (Tq, D)-sized output. Row max is
+    taken over UNMASKED scores — an overestimate on masked rows, which is
+    numerically safe (uniformly scales p) and keeps max to one read pass.
+
+    `row_bias` (static): when every real query row attends the full
+    [0, prefix) span (the ViT's bidirectional case — the wrapper detects
+    static pos + Tq <= prefix), the mask is row-independent and the bias
+    collapses to a (1, Tk) vector; garbage rows/cols from the 128-padding
+    are masked (cols) or sliced by the caller (rows).
+    """
     pos = scalars_ref[0]
     prefix = scalars_ref[1]
 
-    # the mask is head-independent: build it ONCE per program as an
-    # additive bias (one add per head instead of iota+compare+where —
-    # softmax VPU passes over the (Tq, Tk) scores dominate this kernel)
-    shape = (q_ref.shape[1], k_ref.shape[1])
-    rows = pos + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    mask = (cols <= rows) | ((rows < prefix) & (cols < prefix))
-    bias = jnp.where(mask, jnp.float32(0), jnp.float32(-1e30))
+    tq, tk = q_ref.shape[1], k_ref.shape[1]
+    if row_bias:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+        bias = jnp.where(cols < prefix, jnp.float32(0), jnp.float32(-1e30))
+    else:
+        rows = pos + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        mask = (cols <= rows) | ((rows < prefix) & (cols < prefix))
+        bias = jnp.where(mask, jnp.float32(0), jnp.float32(-1e30))
 
     # statically-unrolled loop over the program's head tile: one-head-per-
     # program grids (e.g. 13 crops x 16 ViT heads x 27 layers) were
     # program-switch-overhead bound
     for hh in range(q_ref.shape[0]):
-        q = q_ref[hh]  # (Tq, D)
+        q = (q_ref[hh].astype(jnp.float32) * scale).astype(q_ref.dtype)
         k = k_ref[hh]  # (Tk, D)
         v = v_ref[hh]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias
 
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / denom).astype(v.dtype)
+        p = jnp.exp(s + bias - m).astype(v.dtype)
+        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        l_inv = jnp.where(denom == 0.0, 1.0, 1.0 / denom)
 
-        o_ref[hh] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-            o_ref.dtype
-        )
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[hh] = (o * l_inv).astype(o_ref.dtype)
 
 
 def _flash_kernel_kvtiled(
@@ -236,6 +253,16 @@ def flash_attention(
     tk = k.shape[2]
     scale = 1.0 / (d**0.5)
 
+    # Row-independent mask fast path: every real query row attends exactly
+    # [0, prefix) (bidirectional ViT / pure-prefix prefills). Detectable
+    # only when pos/prefix arrive as python ints (static).
+    row_bias = (
+        isinstance(pos, int)
+        and isinstance(prefix, int)
+        and pos + tq <= prefix
+        and prefix <= tk
+    )
+
     tq_p, tk_p = _ceil_to(tq, 128), _ceil_to(tk, 128)
     if tq_p != tq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
@@ -280,7 +307,7 @@ def flash_attention(
     )
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, row_bias=row_bias),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -585,28 +612,35 @@ def _decode_kernel_paired(
         prefix = scalars_ref[1]
 
     q2 = q2_ref[...]  # (HT, pf, pf*dh)
+    pf = q2.shape[1]
+    dh = q2.shape[2] // pf
     if ks_ref is None:
         k = k_ref[0, 0]   # (HT, T, pf*dh)
         v = v_ref[0, 0]
     else:
-        # int8 cache: codes * per-(token,row) scale. The (T, 1) scale
-        # broadcasts along lanes — sublane-aligned with the (T, pf*dh)
-        # code rows, so no transposes.
-        k = (k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]).astype(q2.dtype)
-        v = (v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]).astype(q2.dtype)
-    pf = q2.shape[1]
-    dh = q2.shape[2] // pf
+        # int8 cache: attention is linear in each token row's scale, so the
+        # k-scale folds into the score plane and the v-scale into the
+        # softmax weights — both (HT, 1, T) lane-aligned broadcasts over
+        # the (HT, pf, T) scores. The (T, 128) code blocks only pay one
+        # int8->bf16 cast; nothing full-plane runs in fp32.
+        k = k_ref[0, 0].astype(q2.dtype)
+        v = v_ref[0, 0].astype(q2.dtype)
 
     s = jax.lax.dot_general(
         q2, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (HT, pf, T)
-    s = s * scale
+    if ks_ref is None:
+        s = s * scale
+    else:
+        s = s * (ks_ref[0, 0] * scale)  # (HT, 1, T) broadcast over pf
     cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
     s = jnp.where(mask, s, jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
+    if vs_ref is not None:
+        p = p * vs_ref[0, 0]  # fold v-scales into the softmax weights
     p = p.astype(v.dtype)
     o2 = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -643,7 +677,8 @@ def _decode_attention_paired(
     """Stacked-cache decode attention over the head-paired layout
     (L, B, Hkv/pf, T, pf*dh). Dispatched from decode_attention_cached when
     the cache lane width exceeds the query head_dim (MHA only). With
-    k_scale/v_scale (L, B, Hkv/pf, T, 1), the cache holds int8 codes."""
+    k_scale/v_scale (L, B, Hkv/pf, 1, T), the cache holds int8 codes and
+    the kernel folds the scales into scores / softmax weights."""
     b, hq, tq, d = q.shape
     L, _, hp_c, t_max, dd = k_cache.shape
     pf = dd // d
@@ -656,8 +691,8 @@ def _decode_attention_paired(
 
     hp = b * hp_c  # flattened pair rows
     vmem_budget = 12 * 1024 * 1024
-    # int8 blocks dequantize to fp32 scratch in-kernel: budget 4B/elem
-    elt = 4 if int8 else 2
+    # int8 blocks: 1B codes + a transient bf16 cast copy -> ~3B/elem
+    elt = 3 if int8 else 2
     ht = max(1, vmem_budget // (2 * 2 * tk * max(dd, 128) * elt))
     ht = min(hp_c, 1 << (ht.bit_length() - 1))
     while hp_c % ht:
@@ -694,8 +729,8 @@ def _decode_attention_paired(
     operands = [q2, k_cache, v_cache]
     if int8:
         in_specs += [
-            pl.BlockSpec((1, 1, ht, tk, 1), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ht, tk, 1), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ht, 1, tk), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ht, 1, tk), kv_index, memory_space=pltpu.VMEM),
         ]
         operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(

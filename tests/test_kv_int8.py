@@ -113,13 +113,49 @@ def test_paired_kernel_int8_matches_dequantized_oracle():
 
     out_q = decode_attention_cached(
         q, kc, vc, layer, pos, prefix, kv_bound=T, interpret=True,
-        k_scale=ks, v_scale=vs,
+        k_scale=jnp.swapaxes(ks, -1, -2), v_scale=jnp.swapaxes(vs, -1, -2),
     )
     out_ref = decode_attention_cached(
         q,
         dequantize_kv(kc, ks, jnp.bfloat16),
         dequantize_kv(vc, vs, jnp.bfloat16),
         layer, pos, prefix, kv_bound=T, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_q, np.float32),
+        np.asarray(out_ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_paired_kernel_int8_ragged_positions():
+    """Ragged decode (per-row positions, the serving path) with int8
+    blocks matches the dequantized oracle."""
+    rng = np.random.default_rng(3)
+    L, B, hp, pf, dh, T = 2, 3, 2, 2, 32, 256
+    dd = pf * dh
+    hq = hp * pf
+
+    q = jnp.asarray(rng.normal(size=(B, hq, 1, dh)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    k = jnp.asarray(rng.normal(size=(L, B, hp, T, dd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, hp, T, dd)).astype(np.float32))
+    kc, ks = quantize_kv(k)
+    vc, vs = quantize_kv(v)
+
+    layer = jnp.int32(0)
+    pos = jnp.asarray([10, 100, 255], jnp.int32)  # per-slot positions
+
+    out_q = decode_attention_cached(
+        q, kc, vc, layer, pos, jnp.int32(0), kv_bound=T, interpret=True,
+        k_scale=jnp.swapaxes(ks, -1, -2), v_scale=jnp.swapaxes(vs, -1, -2),
+    )
+    out_ref = decode_attention_cached(
+        q,
+        dequantize_kv(kc, ks, jnp.bfloat16),
+        dequantize_kv(vc, vs, jnp.bfloat16),
+        layer, pos, jnp.int32(0), kv_bound=T, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(out_q, np.float32),
@@ -148,7 +184,7 @@ def image():
 def test_e2e_encode_snapshot_restore(int8_model, image):
     enc = int8_model.encode_image(image)
     assert enc.k.dtype == jnp.int8
-    assert enc.ks is not None and enc.ks.shape[-1] == 1
+    assert enc.ks is not None and enc.ks.shape[-2:] == (1, 730)
     pf = kv_pair_factor(int8_model.config.text)
     L = int8_model.config.text.n_layers
     assert enc.k.shape == (
@@ -177,8 +213,29 @@ def test_e2e_batched_caption(int8_model, image):
     assert outs[0] == outs[1] == single
 
 
-def test_serving_rejects_int8(int8_model):
+def test_serving_int8_matches_sequential(int8_model, image):
+    """Continuous batching on an int8-cache model reproduces the
+    sequential greedy caption (both paths quantize identically: cache
+    codes written at prefill are the ones ragged decode reads)."""
     from moondream_tpu.models.serve import ContinuousBatchingEngine
+    from moondream_tpu.utils.streaming import stream_text
 
-    with pytest.raises(NotImplementedError):
-        ContinuousBatchingEngine(int8_model)
+    enc = int8_model.encode_image(image)
+    kv = int8_model.load_encoded_image(enc)
+    prompt = list(int8_model.config.tokenizer.templates["caption"]["normal"])
+    _, _, next_token, pos, kv = int8_model._prefill_prompt(
+        kv, prompt, enc.pos, 0.0, 0.0
+    )
+    toks = int8_model._generate_answer_tokens(
+        kv, next_token, pos,
+        {"temperature": 0.0, "top_p": 0.0, "max_tokens": 12},
+    )
+    ref = "".join(stream_text(toks, int8_model._decode_tokens))
+
+    eng = ContinuousBatchingEngine(
+        int8_model, n_slots=2, slot_len=1024, chunk=4
+    )
+    assert eng.kv.k.dtype == jnp.int8 and eng.kv.ks is not None
+    rid = eng.submit(image, max_tokens=12)
+    out = eng.drain()
+    assert out[rid] == ref

@@ -1,0 +1,83 @@
+"""A/B the paired decode-attention kernel: bf16 cache vs int8+scales, at
+the 2B pipelined-bench shapes (B=12, 24 layers, 1024 slots). Reports
+per-step kernel time and effective cache-read bandwidth. Diagnostic."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from moondream_tpu.models.text import quantize_kv
+    from moondream_tpu.ops.attention import decode_attention_cached
+
+    key = jax.random.PRNGKey(0)
+    L, B, hp, pf, dh, T = 24, 12, 16, 2, 64, 1024
+    dd = pf * dh
+    hq = hp * pf
+    kb = 1024
+
+    q = jax.random.normal(key, (B, hq, 1, dh), jnp.bfloat16)
+    k = jax.random.normal(key, (L, B, hp, T, dd), jnp.float32)
+    v = jax.random.normal(key, (L, B, hp, T, dd), jnp.float32)
+    kb16 = k.astype(jnp.bfloat16)
+    vb16 = v.astype(jnp.bfloat16)
+    kc, ks = quantize_kv(k)
+    vc, vs = quantize_kv(v)
+    ks = jnp.swapaxes(ks, -1, -2)
+    vs = jnp.swapaxes(vs, -1, -2)
+    pos = jnp.int32(900)
+    prefix = jnp.int32(730)
+
+    def loop_bf16(q, k, v):
+        def body(c, layer):
+            o = decode_attention_cached(c, k, v, layer, pos, prefix, kb)
+            return o.astype(c.dtype), None
+
+        o, _ = jax.lax.scan(body, q, jnp.arange(L, dtype=jnp.int32))
+        return o
+
+    def loop_int8(q, k, v, ks, vs):
+        def body(c, layer):
+            o = decode_attention_cached(
+                c, k, v, layer, pos, prefix, kb, k_scale=ks, v_scale=vs
+            )
+            return o.astype(c.dtype), None
+
+        o, _ = jax.lax.scan(body, q, jnp.arange(L, dtype=jnp.int32))
+        return o
+
+    fb = jax.jit(loop_bf16)
+    fq = jax.jit(loop_int8)
+
+    for name, fn, args, bytes_step in [
+        ("bf16", fb, (q, kb16, vb16), L * 2 * B * hp * kb * dd * 2),
+        ("int8", fq, (q, kc, vc, ks, vs),
+         L * 2 * B * hp * kb * (dd * 1 + 4)),
+    ]:
+        o = fn(*args)
+        jax.block_until_ready(o)
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = fn(*args)
+            jax.device_get(o.ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        log(f"{name}: {1000*best:.2f} ms for {L} layers "
+            f"({1000*best/L:.3f} ms/layer-step, "
+            f"{bytes_step/best/1e9:.0f} GB/s cache read)")
+
+
+if __name__ == "__main__":
+    main()
