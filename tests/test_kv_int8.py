@@ -239,3 +239,49 @@ def test_serving_int8_matches_sequential(int8_model, image):
     rid = eng.submit(image, max_tokens=12)
     out = eng.drain()
     assert out[rid] == ref
+
+
+def test_sharded_engine_int8_decodes():
+    """kv_int8 under a dp x tp mesh: the GQA/sharded path dequantizes
+    through XLA (pf == 1) and the scale arrays shard on the head axis."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding
+
+    from moondream_tpu.config import TextConfig
+    from moondream_tpu.parallel import ShardedTextEngine, create_mesh
+
+    cfg = TextConfig(
+        dim=256, ff_dim=512, n_layers=2, vocab_size=512, max_context=256,
+        n_heads=8, n_kv_heads=8, prefix_attn=8, kv_int8=True,
+    )
+    params = text_ops.init_text_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.default_rng(1)
+    embeds = jnp.asarray(
+        rng.standard_normal((1, 16, cfg.dim)).astype(np.float32) * 0.1
+    )
+
+    # unsharded int8 reference (XLA branch on CPU)
+    kv0 = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    from moondream_tpu.engine import generate as engine
+
+    logits0, _, kv0 = engine.prefill(
+        params, kv0, embeds, jnp.int32(0), jnp.int32(16), jnp.int32(0),
+        config=dataclasses.replace(cfg, xla_attn=True),
+    )
+    first0 = jnp.argmax(logits0, -1).astype(jnp.int32)
+
+    mesh = create_mesh({"dp": 1, "tp": 8})
+    eng = ShardedTextEngine(params, cfg, mesh)
+    logits1, _, kv1 = eng.prefill(embeds, pos=0, length=16, prefix_len=0)
+    assert kv1.k.dtype == jnp.int8 and kv1.ks is not None
+    assert int(jnp.argmax(logits1, -1)[0]) == int(first0)
+    # scales shard on the head axis alongside the codes
+    shard_shape = kv1.ks.sharding.shard_shape(kv1.ks.shape)
+    assert shard_shape[2] == cfg.n_kv_heads // 8
+
+    res = eng.generate(
+        kv1, jnp.argmax(logits1, -1).astype(jnp.int32), 16,
+        max_tokens=8, eos_id=-1, buffer=64,
+    )
+    assert int(res.counts[0]) == 8
