@@ -241,6 +241,35 @@ def test_serving_int8_matches_sequential(int8_model, image):
     assert out[rid] == ref
 
 
+def test_int4_weights_with_int8_cache(image):
+    """Runtime-int4 text weights compose with the int8 KV cache (the two
+    quantizations are orthogonal: weight blocks vs cache codes). Batched
+    lockstep decode must agree with the single path on the combined
+    model, and serving must reproduce the sequential output."""
+    from moondream_tpu.models.serve import ContinuousBatchingEngine
+    from moondream_tpu.models.text import quantize_text_params
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, kv_int8=True)
+    )
+    base = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
+    model = MoondreamModel(
+        cfg,
+        params={**base.params, "text": quantize_text_params(base.params["text"])},
+        tokenizer=ByteTokenizer(),
+    )
+    single = model.caption(image, "normal", settings=GREEDY)["caption"]
+    outs = model.caption_batch([image, image], "normal", settings=GREEDY)
+    assert outs[0] == outs[1] == single
+
+    eng = ContinuousBatchingEngine(model, n_slots=2, slot_len=1024, chunk=4)
+    assert eng.kv.k.dtype == jnp.int8
+    rid = eng.submit(image, max_tokens=8)
+    out = eng.drain()
+    assert out[rid] == single
+
+
 def test_sharded_engine_int8_decodes():
     """kv_int8 under a dp x tp mesh: the GQA/sharded path dequantizes
     through XLA (pf == 1) and the scale arrays shard on the head axis."""
