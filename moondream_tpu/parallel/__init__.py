@@ -1,4 +1,9 @@
 from .inference import ShardedTextEngine, kv_cache_sharding  # noqa: F401
+from .pipeline import (  # noqa: F401
+    make_pp_loss_and_grads,
+    make_pp_train_step,
+    shard_params_pp,
+)
 from .mesh import (  # noqa: F401
     create_mesh,
     default_mesh_axes,
