@@ -269,6 +269,13 @@ def test_int4_weights_with_int8_cache(image):
     out = eng.drain()
     assert out[rid] == single
 
+    # the bench's int4+kv8 throughput config drives BatchPipeline
+    from moondream_tpu.engine.pipeline import BatchPipeline
+
+    pipe = BatchPipeline(model, batch_size=2, eos_id=-1)
+    got = pipe.caption([image, image], "normal", settings=GREEDY)
+    assert got == [single, single]
+
 
 def test_sharded_engine_int8_decodes():
     """kv_int8 under a dp x tp mesh: the GQA/sharded path dequantizes
