@@ -5,9 +5,11 @@ from .pipeline import (  # noqa: F401
     shard_params_pp,
 )
 from .mesh import (  # noqa: F401
+    batch_shardings,
     create_mesh,
     default_mesh_axes,
     param_shardings,
+    shard_batch,
     shard_params,
     text_param_shardings,
 )

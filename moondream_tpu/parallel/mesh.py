@@ -53,6 +53,28 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def batch_shardings(mesh: Mesh, seq_axis: str = None) -> dict:
+    """NamedShardings for a training batch: rows on "dp" and, when
+    `seq_axis` names a mesh axis (e.g. "sp"), the sequence axis sharded
+    across it — sequence parallelism by annotation alone. The train step
+    is unchanged: XLA partitions the full-sequence forward over the
+    sharded length and inserts the K/V all-gathers attention needs.
+    Requires config.xla_attn=True (an opaque Pallas attention call cannot
+    be partitioned over the sequence). Verified loss/update-identical to
+    the single-device step in tests/test_parallel.py."""
+    return {
+        "inputs_embeds": _ns(mesh, "dp", seq_axis, None),
+        "labels": _ns(mesh, "dp", seq_axis),
+        "label_mask": _ns(mesh, "dp", seq_axis),
+    }
+
+
+def shard_batch(batch: dict, mesh: Mesh, seq_axis: str = None) -> dict:
+    """Place a host batch onto the mesh (optionally sequence-parallel)."""
+    shardings = batch_shardings(mesh, seq_axis)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
 def text_param_shardings(mesh: Mesh, config: MoondreamConfig) -> dict:
     """NamedSharding pytree for text params (stacked-blocks layout).
 

@@ -77,6 +77,37 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(w1, w2, atol=1e-5)
 
 
+def test_sequence_parallel_train_step_matches_single_device():
+    """dp x sp: the SEQUENCE axis of the batch is sharded across devices
+    (mesh.batch_shardings(seq_axis="sp")) and the unchanged train step is
+    partitioned by XLA, which inserts the K/V all-gathers for attention
+    over the sharded length. Loss and updates must match single-device."""
+    import dataclasses
+
+    from moondream_tpu.parallel import shard_batch
+
+    cfg = dataclasses.replace(CFG, xla_attn=True)
+    params = text_ops.init_text_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    optimizer = make_optimizer(lr=1e-3)
+    batch = _batch(4)
+
+    state1 = init_train_state(params, optimizer)
+    step1 = make_train_step(optimizer, cfg)
+    state1, loss1 = step1(state1, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = create_mesh({"dp": 2, "sp": 4})
+    params2 = text_ops.init_text_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    state2 = init_train_state(jax.device_put(params2), optimizer)
+    step2 = make_train_step(optimizer, cfg)
+    with mesh:
+        state2, loss2 = step2(state2, shard_batch(batch, mesh, seq_axis="sp"))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    w1 = np.asarray(state1.params["blocks"]["attn"]["qkv"]["w"])
+    w2 = np.asarray(state2.params["blocks"]["attn"]["qkv"]["w"])
+    np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     import sys, os
 
