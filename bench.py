@@ -210,8 +210,8 @@ def main():
         "max_tokens": args.decode_tokens, "temperature": 0.0, "top_p": 0.0,
     }
 
-    def run_pipelined(B, n_batches, tag=""):
-        pipe = BatchPipeline(model, batch_size=B, eos_id=-1)
+    def run_pipelined(B, n_batches, tag="", bench_model=None):
+        pipe = BatchPipeline(bench_model or model, batch_size=B, eos_id=-1)
         base = [
             Image.fromarray(
                 rng.integers(0, 255, size=(1080, 1440, 3), dtype=np.uint8)
@@ -252,6 +252,7 @@ def main():
     # ---- int4 serving config: packed weights free ~2GB HBM, so a larger
     # batch fits and each decode step streams 4x less weight traffic.
     int4_imgs_per_sec = None
+    int4_kv8_imgs_per_sec = None
     int4_batch = args.int4_batch
     if not args.int4 and not args.skip_int4 and args.config == "2b":
         try:
@@ -270,6 +271,25 @@ def main():
             log(f"int4 B={int4_batch} config failed ({type(e).__name__}: {e}); "
                 "reporting bf16 only")
 
+        # ---- int4 weights + int8 KV cache: the remaining decode HBM
+        # traffic at large batch is the cache read; int8 halves it. Same
+        # params, config flipped (cache dtype is a trace-time config bit).
+        if int4_imgs_per_sec is not None and not args.kv_int8:
+            try:
+                import dataclasses
+
+                cfg8 = dataclasses.replace(
+                    config, text=dataclasses.replace(config.text, kv_int8=True)
+                )
+                model8 = MoondreamModel(
+                    cfg8, params=model.params, tokenizer=ByteTokenizer()
+                )
+                int4_kv8_imgs_per_sec = run_pipelined(
+                    int4_batch, n_batches, tag=" int4+kv8", bench_model=model8
+                )
+            except Exception as e:
+                log(f"int4+kv8 config failed ({type(e).__name__}: {e})")
+
     print(
         json.dumps(
             {
@@ -281,6 +301,10 @@ def main():
                 "pipelined": True,
                 "int4_b16_images_per_sec": (
                     round(int4_imgs_per_sec, 4) if int4_imgs_per_sec else None
+                ),
+                "int4_kv8_images_per_sec": (
+                    round(int4_kv8_imgs_per_sec, 4)
+                    if int4_kv8_imgs_per_sec else None
                 ),
                 "int4_batch": int4_batch,
                 "single_image_images_per_sec": round(images_per_sec, 4),

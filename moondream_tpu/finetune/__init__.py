@@ -9,4 +9,8 @@ def resolve_config(spec):
         return MOONDREAM_2B
     if spec == "05b":
         return MOONDREAM_05B
+    if spec == "tiny":  # offline smoke runs / CI
+        from ..config import tiny_test_config
+
+        return tiny_test_config()
     return MoondreamConfig.from_json(spec)

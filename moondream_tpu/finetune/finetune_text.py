@@ -92,6 +92,12 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic image/caption pairs "
                              "instead of a HF dataset (offline smoke run)")
+    parser.add_argument("--lora-rank", type=int, default=0,
+                        help="train a LoRA variant adapter of this rank with "
+                             "the base weights frozen (adapter-sized "
+                             "optimizer state), saved as a torch .pt in the "
+                             "variant naming that load_variant/settings "
+                             "{'variant': path} consumes directly")
     args = parser.parse_args()
 
     from . import resolve_config
@@ -137,18 +143,38 @@ def main():
     optimizer = optax.MultiSteps(base_opt, every_k_schedule=args.grad_accum)
 
     text_params = model.params["text"]
-    opt_state = optimizer.init(text_params)
     cfg = config.text
 
-    @jax.jit
-    def train_step(text_params, opt_state, batch):
-        loss, grads = jax.value_and_grad(
-            lambda p: text_loss(
-                p, batch["inputs_embeds"], batch["labels"], batch["label_mask"], cfg
-            )
-        )(text_params)
-        updates, opt_state = optimizer.update(grads, opt_state, text_params)
-        return optax.apply_updates(text_params, updates), opt_state, loss
+    if args.lora_rank:
+        from .lora import init_lora_params, lora_text_loss
+
+        train_params = init_lora_params(cfg, args.lora_rank, jax.random.PRNGKey(0))
+        opt_state = optimizer.init(train_params)
+
+        @jax.jit
+        def train_step(lora_params, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                lambda lp: lora_text_loss(
+                    lp, text_params, batch["inputs_embeds"], batch["labels"],
+                    batch["label_mask"], cfg,
+                )
+            )(lora_params)
+            updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+            return optax.apply_updates(lora_params, updates), opt_state, loss
+
+    else:
+        train_params = text_params
+        opt_state = optimizer.init(train_params)
+
+        @jax.jit
+        def train_step(text_params, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: text_loss(
+                    p, batch["inputs_embeds"], batch["labels"], batch["label_mask"], cfg
+                )
+            )(text_params)
+            updates, opt_state = optimizer.update(grads, opt_state, text_params)
+            return optax.apply_updates(text_params, updates), opt_state, loss
 
     pbar = tqdm(total=total_steps)
     i = 0
@@ -161,8 +187,10 @@ def main():
                 "\n\nQuestion: Describe this image.\n\nAnswer:",
                 f"{sample['description']}{ANSWER_EOS}",
             )
-            text_params, opt_state, loss = train_step(text_params, opt_state, batch)
-            model.params["text"] = text_params
+            train_params, opt_state, loss = train_step(train_params, opt_state, batch)
+            if not args.lora_rank:
+                text_params = train_params
+                model.params["text"] = text_params
 
             if i % args.grad_accum == 0:
                 step = i // args.grad_accum
@@ -177,10 +205,15 @@ def main():
 
                     save_checkpoint(
                         os.path.abspath(os.path.join(args.ckpt_dir, f"step_{step}")),
-                        TrainState(text_params, opt_state, jnp.int32(step)),
+                        TrainState(train_params, opt_state, jnp.int32(step)),
                     )
 
-    save_params(args.save, model)
+    if args.lora_rank:
+        from .lora import save_variant
+
+        save_variant(args.save, train_params)
+    else:
+        save_params(args.save, model)
     print(f"saved to {args.save}")
 
 

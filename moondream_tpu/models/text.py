@@ -354,11 +354,15 @@ def attn_uncached(
     freqs_cis: jax.Array,
     attn_mask: jax.Array,
     config: TextConfig,
+    lora: Optional[dict] = None,
 ) -> jax.Array:
     """Cache-free attention for the training path (reference text.py:63-99).
-    Positions are 0..T-1."""
+    Positions are 0..T-1. `lora`: optional per-layer {"qkv"/"proj": {A, B}}
+    low-rank adds (the same sites the cached path applies)."""
     bsz, q_len, _ = x.shape
-    q, k, v = _split_qkv(linear(x, w["qkv"]), config)
+    q, k, v = _split_qkv(
+        lora_linear(x, w["qkv"], lora.get("qkv") if lora else None), config
+    )
 
     position_ids = jnp.arange(q_len, dtype=jnp.int32)
     q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
@@ -370,8 +374,10 @@ def attn_uncached(
         v = jnp.repeat(v, rep, axis=1)
 
     out = sdpa(q, k, v, attn_mask)
-    return linear(
-        out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim), w["proj"]
+    return lora_linear(
+        out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim),
+        w["proj"],
+        lora.get("proj") if lora else None,
     )
 
 
@@ -457,19 +463,31 @@ def _require_dense(w: dict, op: str) -> None:
         )
 
 
-def produce_hidden(inputs_embeds: jax.Array, w: dict, config: TextConfig) -> jax.Array:
-    """Full-sequence cache-free forward for training (reference text.py:102-125)."""
+def produce_hidden(
+    inputs_embeds: jax.Array,
+    w: dict,
+    config: TextConfig,
+    lora: Optional[dict] = None,
+) -> jax.Array:
+    """Full-sequence cache-free forward for training (reference text.py:102-125).
+    `lora`: optional stacked adapter pytree (leading layer axis, the
+    lora.variant_state_dict layout) scanned alongside the block weights —
+    the LoRA-finetuning forward."""
     _require_dense(w, "produce_hidden")
     q_len = inputs_embeds.shape[1]
     mask = prefix_attn_mask(q_len, config.prefix_attn)
 
-    def block(h, bw):
+    def block(h, xs):
+        bw, lora_l = xs
         ln_in = layer_norm(h, bw["ln"])
-        attn_out = attn_uncached(ln_in, bw["attn"], w["freqs_cis"], mask, config)
-        mlp_out = mlp(ln_in, bw["mlp"])
+        attn_out = attn_uncached(
+            ln_in, bw["attn"], w["freqs_cis"], mask, config,
+            lora_l.get("attn") if lora_l else None,
+        )
+        mlp_out = mlp(ln_in, bw["mlp"], lora=lora_l.get("mlp") if lora_l else None)
         return h + attn_out + mlp_out, None
 
-    hidden, _ = jax.lax.scan(block, inputs_embeds, w["blocks"])
+    hidden, _ = jax.lax.scan(block, inputs_embeds, (w["blocks"], lora))
     return hidden
 
 
