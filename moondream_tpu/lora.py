@@ -121,3 +121,57 @@ def variant_state_dict(
             "fc2": {"A": stacked("mlp.fc2", "A"), "B": stacked("mlp.fc2", "B")},
         },
     }
+
+
+def merge_variant(text_params: dict, lora: dict, scale: float = 1.0) -> dict:
+    """Fold a stacked adapter into the dense block weights:
+    W (L, in, out) += scale * Aᵀ Bᵀ per site — serving a merged variant
+    then costs ZERO extra matmuls per step (the per-step low-rank adds
+    exist for hot-swapping many variants; a dedicated deployment should
+    merge). Returns a new params pytree; accumulation runs in fp32 and
+    rounds back to the weight dtype. Requires dense weights (merge before
+    quantize_text_params for int4 serving)."""
+    if "w" not in text_params["blocks"]["attn"]["qkv"]:
+        raise ValueError(
+            "merge_variant needs dense block weights — merge before "
+            "runtime-int4 quantization"
+        )
+
+    def fold(w, pair):
+        delta = jnp.einsum(
+            "lri,lor->lio",
+            pair["A"].astype(jnp.float32),
+            pair["B"].astype(jnp.float32),
+        )
+        return (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+
+    blocks = text_params["blocks"]
+    merged = {
+        **text_params,
+        "blocks": {
+            **blocks,
+            "attn": {
+                **blocks["attn"],
+                "qkv": {
+                    **blocks["attn"]["qkv"],
+                    "w": fold(blocks["attn"]["qkv"]["w"], lora["attn"]["qkv"]),
+                },
+                "proj": {
+                    **blocks["attn"]["proj"],
+                    "w": fold(blocks["attn"]["proj"]["w"], lora["attn"]["proj"]),
+                },
+            },
+            "mlp": {
+                **blocks["mlp"],
+                "fc1": {
+                    **blocks["mlp"]["fc1"],
+                    "w": fold(blocks["mlp"]["fc1"]["w"], lora["mlp"]["fc1"]),
+                },
+                "fc2": {
+                    **blocks["mlp"]["fc2"],
+                    "w": fold(blocks["mlp"]["fc2"]["w"], lora["mlp"]["fc2"]),
+                },
+            },
+        },
+    }
+    return merged

@@ -125,6 +125,38 @@ def test_trained_adapter_roundtrips_as_variant(tmp_path, text_params):
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
 
 
+def test_merge_variant_matches_lora_forward(text_params):
+    """Folding the adapter into the dense weights must reproduce the
+    per-step low-rank forward (fp32 params here, so near-exact)."""
+    rng = jax.random.PRNGKey(3)
+    lora = init_lora_params(CFG, rank=4, key=rng)
+    # nonzero B so the adapter actually does something
+    lora["attn"]["qkv"]["B"] = (
+        jax.random.normal(rng, lora["attn"]["qkv"]["B"].shape) * 0.05
+    )
+    lora["mlp"]["fc2"]["B"] = (
+        jax.random.normal(rng, lora["mlp"]["fc2"]["B"].shape) * 0.05
+    )
+
+    batch = _batch()
+    with_lora = lora_text_loss(
+        lora, text_params, batch["inputs_embeds"], batch["labels"],
+        batch["label_mask"], CFG,
+    )
+    merged = lora_mod.merge_variant(text_params, lora)
+    merged_loss = text_loss(
+        merged, batch["inputs_embeds"], batch["labels"],
+        batch["label_mask"], CFG,
+    )
+    np.testing.assert_allclose(float(merged_loss), float(with_lora), rtol=1e-5)
+
+    # int4 guard: merging after quantization is refused
+    from moondream_tpu.models.text import quantize_text_params
+
+    with pytest.raises(ValueError):
+        lora_mod.merge_variant(quantize_text_params(text_params), lora)
+
+
 def test_finetune_text_cli_lora_smoke(tmp_path):
     """--lora-rank: 2 synthetic samples, adapter saved as a variant and
     loadable through settings={'variant': path} (the serving surface)."""
