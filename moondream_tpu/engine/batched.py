@@ -168,3 +168,111 @@ def generate_text_batched(
         (kv, pos, first_tokens, done0, jnp.int32(0), rng, tokens0, counts0),
     )
     return BatchedGenerateResult(tokens=tokens, counts=counts, kv=kv, pos=pos)
+
+
+class BatchedPointsResult(NamedTuple):
+    boxes: jax.Array  # (B, max_objects, 4) f32 — [x,y,0,0] rows points-only
+    counts: jax.Array  # (B,) int32 — objects found per row
+    kv: KVCache
+    pos: jax.Array
+
+
+def generate_points_batched(
+    text_params: dict,
+    region_params: dict,
+    kv: KVCache,
+    first_hidden: jax.Array,
+    first_tokens: jax.Array,
+    pos: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    include_size: bool,
+    max_objects: int,
+    lora: Optional[dict] = None,
+    kv_bound: Optional[int] = None,
+) -> BatchedPointsResult:
+    """Lockstep batched structured coordinate decode — generate_points
+    (engine/generate.py, reference moondream.py:653-733) over B symmetric
+    rows: same prompt, shared position counter, per-row object counts and
+    EOS. One fused loop detects the same object across B images (the video
+    recipes' per-frame `detect` becomes one device program per frame
+    batch). Rows that finish keep stepping with frozen outputs until the
+    whole batch is done, exactly like generate_text_batched.
+    """
+    from ..models import region as region_ops
+    from ..ops.layers import mlp as _mlp
+
+    bsz = first_tokens.shape[0]
+    emb_dtype = text_params["wte"].dtype
+    boxes0 = jnp.zeros((bsz, max_objects, 4), jnp.float32)
+    pos_limit = config.max_context if kv_bound is None else kv_bound
+
+    def step(kv_, emb, pos_):
+        hidden, kv_ = text_ops.text_decoder(
+            emb[:, None, :], text_params, kv_, pos_, jnp.int32(0), config,
+            lora, kv_bound,
+        )
+        h = hidden[:, 0]
+        return lm_logits_batched(h, text_params), h, kv_
+
+    def cond(c):
+        kv_, pos_, hid, tok, n, boxes, done = c
+        return jnp.any(~done) & (pos_ < pos_limit - 4)
+
+    def body(c):
+        kv_, pos_, hid, tok, n, boxes, done = c
+        active = ~done
+
+        x_logits = region_ops.decode_coordinate(hid, region_params)
+        x = jnp.argmax(x_logits, -1).astype(jnp.float32) / x_logits.shape[-1]
+        emb = region_ops.encode_coordinate(
+            x[:, None].astype(emb_dtype), region_params
+        )
+        _, hid, kv_ = step(kv_, emb, pos_)
+        pos_ = pos_ + 1
+
+        y_logits = region_ops.decode_coordinate(hid, region_params)
+        y = jnp.argmax(y_logits, -1).astype(jnp.float32) / y_logits.shape[-1]
+        emb = region_ops.encode_coordinate(
+            y[:, None].astype(emb_dtype), region_params
+        )
+
+        if include_size:
+            _, hid, kv_ = step(kv_, emb, pos_)
+            pos_ = pos_ + 1
+            size_logits = _mlp(hid, region_params["size_decoder"]).reshape(
+                bsz, 2, -1
+            )
+            wh = region_ops.size_bin_to_value(jnp.argmax(size_logits, -1))
+            emb = region_ops.encode_size(wh.astype(emb_dtype), region_params)
+            row = jnp.stack(
+                [
+                    x - wh[:, 0] / 2, y - wh[:, 1] / 2,
+                    x + wh[:, 0] / 2, y + wh[:, 1] / 2,
+                ],
+                axis=-1,
+            )
+        else:
+            zeros = jnp.zeros_like(x)
+            row = jnp.stack([x, y, zeros, zeros], axis=-1)
+
+        upd = (jnp.arange(max_objects)[None, :] == n[:, None]) & active[:, None]
+        boxes = jnp.where(upd[..., None], row[:, None, :], boxes)
+        n = n + active.astype(jnp.int32)
+
+        logits, hid, kv_ = step(kv_, emb, pos_)
+        pos_ = pos_ + 1
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        done = done | (tok == eos_id) | (n >= max_objects)
+        return (kv_, pos_, hid, tok, n, boxes, done)
+
+    done0 = first_tokens == eos_id
+    kv, pos, _, _, counts, boxes, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            kv, pos, first_hidden, first_tokens,
+            jnp.zeros((bsz,), jnp.int32), boxes0, done0,
+        ),
+    )
+    return BatchedPointsResult(boxes=boxes, counts=counts, kv=kv, pos=pos)

@@ -1035,6 +1035,125 @@ class MoondreamModel:
             for b in range(bsz)
         ]
 
+    def _points_batched_fn(
+        self, include_size: bool, max_objects: int,
+        kv_bound: Optional[int] = None,
+    ):
+        cfg = self.config.text
+
+        def build():
+            from ..engine import batched as batched_engine
+
+            return jax.jit(
+                partial(
+                    batched_engine.generate_points_batched,
+                    config=cfg,
+                    eos_id=self.config.tokenizer.eos_id,
+                    include_size=include_size,
+                    max_objects=max_objects,
+                    kv_bound=kv_bound,
+                ),
+                donate_argnums=(2,),
+            )
+
+        return self._jit(
+            ("points_b", include_size, max_objects, kv_bound), build
+        )
+
+    def _structured_decode_batch(
+        self, images, object: str, template_key: str, include_size: bool,
+        settings,
+    ):
+        """Batched detect/point: same object across B images — the video
+        recipes' shape (one detect per frame). Symmetric prompts decode in
+        exact lockstep; per-row object counts and EOS."""
+        templates = self.config.tokenizer.templates[template_key]
+        if templates is None:
+            raise NotImplementedError(f"Model does not support {template_key}.")
+        lora = self._variant(settings)
+        encs = [
+            im if isinstance(im, EncodedImage) else None for im in images
+        ]
+        to_encode = [im for im, e in zip(images, encs) if e is None]
+        if to_encode:
+            fresh = iter(self.encode_images(to_encode, settings))
+            encs = [e if e is not None else next(fresh) for e in encs]
+
+        bsz = len(encs)
+        pos = encs[0].pos
+        ids = (
+            list(templates["prefix"])
+            + self._encode_text(" " + object)
+            + list(templates["suffix"])
+        )
+        length = len(ids)
+        pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        max_objects = (
+            settings.get("max_objects", DEFAULT_MAX_OBJECTS)
+            if settings
+            else DEFAULT_MAX_OBJECTS
+        )
+        steps_per_object = 3 if include_size else 2
+        # same bound arithmetic as the single path (_structured_decode):
+        # pos + length is the post-prefill position — keeping the bucket
+        # identical keeps reduction spans, and therefore near-tie argmax
+        # decisions, bit-identical to single-path detect/point
+        bound = self._decode_bound(
+            pos + length + steps_per_object * max_objects + 2
+        )
+        kv = self._load_kv_batched_fn(bsz, bound)(_concat_enc_kv(encs))
+        ids_padded = ids + [0] * (pad - length)
+        emb = jnp.broadcast_to(
+            self.params["text"]["wte"][jnp.asarray(ids_padded)][None],
+            (bsz, pad, self.config.text.dim),
+        ).astype(self.dtype)
+
+        logits, hidden, kv = self._prefill_batched_fn(self._kv_bound(pos + pad))(
+            self.params["text"], kv, emb,
+            jnp.int32(pos), jnp.int32(length),
+            jnp.int32(self.config.text.prefix_attn), lora=lora,
+        )
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        res = self._points_batched_fn(include_size, max_objects, bound)(
+            self.params["text"], self.params["region"], kv,
+            hidden, first, jnp.int32(pos + length), lora=lora,
+        )
+        boxes = np.asarray(res.boxes, dtype=np.float64)
+        counts = np.asarray(res.counts)
+        self._recycle_kv(res.kv, bsz)
+        return [boxes[b, : counts[b]] for b in range(bsz)]
+
+    def detect_batch(self, images, object: str, settings=None):
+        """Batched `detect`: one fused lockstep decode of the same object
+        across B images/frames (no reference analog — batch_answer loops,
+        hf_moondream.py:99-103)."""
+        per_image = self._structured_decode_batch(
+            images, object, "detect", True, settings
+        )
+        return [
+            {
+                "objects": [
+                    {
+                        "x_min": float(b[0]), "y_min": float(b[1]),
+                        "x_max": float(b[2]), "y_max": float(b[3]),
+                    }
+                    for b in boxes
+                ]
+            }
+            for boxes in per_image
+        ]
+
+    def point_batch(self, images, object: str, settings=None):
+        """Batched `point` (see detect_batch)."""
+        per_image = self._structured_decode_batch(
+            images, object, "point", False, settings
+        )
+        return [
+            {"points": [{"x": float(p[0]), "y": float(p[1])} for p in pts]}
+            for pts in per_image
+        ]
+
     # ----------------------------------------------------------------- gaze
     def _detect_gaze(
         self, encoded: EncodedImage, source: Tuple[float, float], force_detect=False

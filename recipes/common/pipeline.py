@@ -59,18 +59,25 @@ def detect_frames(
     for start in range(0, len(units), encode_batch):
         chunk = units[start : start + encode_batch]
         imgs = [_to_pil(u[2]) for u in chunk]
-        encs = (
-            model.encode_images(imgs)
-            if len(imgs) > 1
-            else [model.encode_image(imgs[0])]
-        )
-        for (fi, pos, _), enc in zip(chunk, encs):
-            try:
-                objs = model.detect(enc, keyword)["objects"]
-            except Exception as e:  # per-frame resilience, reference style
-                print(f"detect failed on frame {fi}: {e}")
-                objs = []
-            for o in objs:
+        # one batched encode AND one fused lockstep structured decode for
+        # the whole chunk (detect_batch) — the decode loop advances all
+        # frames per device step instead of running B sequential detects
+        try:
+            if len(imgs) > 1:
+                results = model.detect_batch(model.encode_images(imgs), keyword)
+            else:
+                results = [model.detect(model.encode_image(imgs[0]), keyword)]
+        except Exception as e:  # whole-chunk fallback: per-frame resilience
+            print(f"batched detect failed ({e}); falling back per-frame")
+            results = []
+            for im in imgs:
+                try:
+                    results.append(model.detect(im, keyword))
+                except Exception as e2:
+                    print(f"detect failed: {e2}")
+                    results.append({"objects": []})
+        for (fi, pos, _), det in zip(chunk, results):
+            for o in det["objects"]:
                 box = (o["x_min"], o["y_min"], o["x_max"], o["y_max"])
                 if pos is not None:
                     box = tile_box_to_frame(box, pos, rows, cols)
