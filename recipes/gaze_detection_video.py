@@ -86,13 +86,22 @@ def process_video(
             if len(imgs) > 1
             else [model.encode_image(imgs[0])]
         )
-        for fi, enc in zip(batch_idx, encs):
+        # ONE fused lockstep face-detect across the whole frame batch
+        try:
+            face_results = [
+                r["objects"] for r in model.detect_batch(encs, "face")
+            ]
+        except Exception as e:
+            print(f"batched face detect failed ({e}); falling back per-frame")
+            face_results = []
+            for fi, enc in zip(batch_idx, encs):
+                try:
+                    face_results.append(model.detect(enc, "face")["objects"])
+                except Exception as e2:
+                    print(f"frame {fi}: face detect failed: {e2}")
+                    face_results.append([])
+        for fi, enc, faces in zip(batch_idx, encs, face_results):
             faces_out = []
-            try:
-                faces = model.detect(enc, "face")["objects"]
-            except Exception as e:
-                print(f"frame {fi}: face detect failed: {e}")
-                faces = []
             # stable color assignment: sort faces by position
             faces = sorted(faces, key=lambda f: (f["y_min"], f["x_min"]))
             for face in faces:
