@@ -39,6 +39,8 @@ class _Slot:
     req_id: int = -1
     tokens: List[int] = field(default_factory=list)
     active: bool = False
+    on_text: Optional[Any] = None  # callback(req_id, chunk) per text chunk
+    streamer: Optional[Any] = None  # TokenStreamer when on_text is set
 
 
 class ContinuousBatchingEngine:
@@ -111,10 +113,15 @@ class ContinuousBatchingEngine:
         question: Optional[str] = None,
         caption_length: str = "normal",
         max_tokens: int = DEFAULT_MAX_TOKENS,
+        on_text=None,
     ) -> int:
         """Admit one request (caption by default; VQA when `question` is
         given). Blocks stepping the pool only for this request's prefill.
-        Raises RuntimeError when no slot is free — call step() first."""
+        Raises RuntimeError when no slot is free — call step() first.
+
+        `on_text(req_id, chunk)`: optional per-request streaming callback,
+        invoked from step() with word-boundary-safe text chunks as the
+        request decodes (same flushing rules as the single-stream API)."""
         free = self.free_slots()
         if not free:
             raise RuntimeError("no free slot; step() or drain() first")
@@ -136,9 +143,9 @@ class ContinuousBatchingEngine:
         _, _, next_token, pos, kv1 = model._prefill_prompt(
             kv1, prompt, enc.pos, self.temperature, self.top_p
         )
-        return self._admit(kv1, next_token, pos, slot, max_tokens)
+        return self._admit(kv1, next_token, pos, slot, max_tokens, on_text)
 
-    def _admit(self, kv1, next_token, pos, slot, max_tokens) -> int:
+    def _admit(self, kv1, next_token, pos, slot, max_tokens, on_text=None) -> int:
         """Snapshot a prefilled request into `slot`. Rejects prompts that
         don't leave room to generate (the slot holds prompt + generated
         tokens: pos + tokens must fit slot_len); clamps the budget so ragged
@@ -162,7 +169,15 @@ class ContinuousBatchingEngine:
 
         req_id = self._next_req
         self._next_req += 1
-        self.slots[slot] = _Slot(req_id=req_id, tokens=[], active=True)
+        streamer = None
+        if on_text is not None:
+            from ..utils.streaming import TokenStreamer
+
+            streamer = TokenStreamer(self.model._decode_tokens)
+        self.slots[slot] = _Slot(
+            req_id=req_id, tokens=[], active=True,
+            on_text=on_text, streamer=streamer,
+        )
         self.cur = self.cur.at[slot].set(next_token[()])
         self.pos = self.pos.at[slot].set(pos)
         self.active = self.active.at[slot].set(True)
@@ -175,6 +190,7 @@ class ContinuousBatchingEngine:
         question: Optional[str] = None,
         caption_length: str = "normal",
         max_tokens: int = DEFAULT_MAX_TOKENS,
+        on_text=None,
     ) -> List[int]:
         """Admit a burst of requests with ONE batched image encode
         (`encode_images`) instead of per-request ViT calls. All requests
@@ -203,7 +219,9 @@ class ContinuousBatchingEngine:
             _, _, next_token, pos, kv1 = model._prefill_prompt(
                 kv1, prompt, enc.pos, self.temperature, self.top_p
             )
-            req_ids.append(self._admit(kv1, next_token, pos, slot, max_tokens))
+            req_ids.append(
+                self._admit(kv1, next_token, pos, slot, max_tokens, on_text)
+            )
         return req_ids
 
     def step(self) -> List[int]:
@@ -231,13 +249,40 @@ class ContinuousBatchingEngine:
                 continue
             emitted = [int(t) for t, e in zip(toks[i], emitted_mask[i]) if e]
             slot.tokens.extend(emitted)
+            if slot.on_text is not None:
+                for t in emitted:
+                    chunk = slot.streamer.feed(t)
+                    if chunk:
+                        slot.on_text(slot.req_id, chunk)
             if not still_active[i]:
                 slot.active = False
+                if slot.on_text is not None:
+                    tail = slot.streamer.finish()
+                    if tail:
+                        slot.on_text(slot.req_id, tail)
                 self.results[slot.req_id] = "".join(
                     stream_text(slot.tokens, self.model._decode_tokens)
                 )
                 finished.append(slot.req_id)
         return finished
+
+    def cancel(self, req_id: int) -> bool:
+        """Cancel an in-flight request: frees its slot immediately and
+        records the text decoded so far as its result. Returns False when
+        the request is not active (already finished or unknown)."""
+        for i, slot in enumerate(self.slots):
+            if slot.active and slot.req_id == req_id:
+                slot.active = False
+                self.active = self.active.at[i].set(False)
+                if slot.on_text is not None:
+                    tail = slot.streamer.finish()
+                    if tail:
+                        slot.on_text(slot.req_id, tail)
+                self.results[req_id] = "".join(
+                    stream_text(slot.tokens, self.model._decode_tokens)
+                )
+                return True
+        return False
 
     def drain(self) -> Dict[int, str]:
         """Step until every admitted request completes; returns all

@@ -124,3 +124,37 @@ def test_serving_with_int4_model(images):
     rid = eng.submit(images[0], max_tokens=6)
     out = eng.drain()
     assert out[rid] == ref
+
+
+def test_serving_streaming_callback(model, images):
+    """on_text chunks concatenate to exactly the final result (the same
+    word-boundary flushing as the single-stream API)."""
+    chunks = {}
+
+    def on_text(rid, chunk):
+        chunks.setdefault(rid, []).append(chunk)
+
+    eng = ContinuousBatchingEngine(model, n_slots=2, slot_len=1024, chunk=4)
+    r1, r2 = eng.submit_many(images[:2], max_tokens=10, on_text=on_text)
+    out = eng.drain()
+    assert "".join(chunks.get(r1, [])) == out[r1]
+    assert "".join(chunks.get(r2, [])) == out[r2]
+
+
+def test_serving_cancel(model, images):
+    eng = ContinuousBatchingEngine(model, n_slots=2, slot_len=1024, chunk=4)
+    r1 = eng.submit(images[0], max_tokens=64)
+    r2 = eng.submit(images[1], max_tokens=8)
+    eng.step()
+    partial_len = len(eng.slots[[s.req_id for s in eng.slots].index(r1)].tokens)
+    assert eng.cancel(r1) is True
+    assert eng.cancel(r1) is False  # already finished
+    assert eng.cancel(999) is False
+    # the slot is immediately reusable
+    assert len(eng.free_slots()) == 1
+    r3 = eng.submit(images[0], max_tokens=6)
+    out = eng.drain()
+    assert set(out) == {r1, r2, r3}
+    # cancelled result is the partial text decoded so far
+    assert isinstance(out[r1], str)
+    assert partial_len <= 4  # one chunk's worth
