@@ -112,6 +112,64 @@ def test_pp_train_step_matches_single_device():
     assert np.isfinite(float(l2))
 
 
+def test_pp_matches_single_device_gqa():
+    """Pipeline stages run the GQA attention path identically."""
+    cfg = TextConfig(
+        dim=64, ff_dim=128, n_layers=4, vocab_size=256, max_context=64,
+        n_heads=8, n_kv_heads=2, prefix_attn=4,
+    )
+    params = text_ops.init_text_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch = _batch()
+    mesh = create_mesh({"pp": 2, "dp": 2})
+
+    def ref_loss(p):
+        return text_loss(
+            p, batch["inputs_embeds"], batch["labels"],
+            batch["label_mask"], cfg,
+        )
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+    fn = make_pp_loss_and_grads(cfg, mesh, 2)
+    loss, grads = fn(shard_params_pp(params, mesh), batch)
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_pp_state_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a pp-sharded TrainState: the sharded layer
+    slabs round-trip and training continues from the restored step."""
+    from moondream_tpu.finetune.trainer import (
+        load_checkpoint,
+        make_optimizer,
+        save_checkpoint,
+    )
+
+    params = _params()
+    batch = _batch()
+    mesh = create_mesh({"pp": 2, "dp": 2})
+    opt = make_optimizer(lr=1e-3)
+    step = make_pp_train_step(opt, CFG, mesh, n_microbatches=2)
+    state = init_train_state(shard_params_pp(params, mesh), opt)
+    state, _ = step(state, batch)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+
+    template = init_train_state(shard_params_pp(_params(), mesh), opt)
+    restored = load_checkpoint(path, template, opt)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    restored2, loss = step(restored, _batch())
+    assert np.isfinite(float(loss))
+
+
 def test_pp_rejects_bad_divisibility():
     mesh = create_mesh({"pp": 2, "dp": 1})
     with pytest.raises(ValueError):
