@@ -74,6 +74,33 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
+    # Chip-health probe: the tunneled chip intermittently degrades to a few
+    # TF/s for many minutes (BASELINE.md). Record the measured matmul rate
+    # so a bad headline number is attributable. A couple of quick retries
+    # ride out short interference windows without blowing the run budget.
+    def probe_tfs():
+        a = jnp.ones((8192, 8192), jnp.bfloat16)
+        f = jax.jit(lambda a: a @ a)
+        f(a).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            c = f(a)
+        jax.device_get(c.ravel()[0])
+        return 10 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+
+    chip_tfs = 0.0
+    try:
+        for attempt in range(3):
+            chip_tfs = probe_tfs()
+            log(f"chip probe: {chip_tfs:.1f} TF/s bf16 matmul")
+            if chip_tfs > 80:
+                break
+            if attempt < 2:
+                log("chip degraded; waiting 60s before retry...")
+                time.sleep(60)
+    except Exception as e:
+        log(f"chip probe failed: {e}")
+
     from moondream_tpu.config import MOONDREAM_05B, MOONDREAM_2B
     from moondream_tpu.models.moondream import MoondreamModel
     from moondream_tpu.engine import generate as engine
@@ -281,6 +308,10 @@ def main():
                 cfg8 = dataclasses.replace(
                     config, text=dataclasses.replace(config.text, kv_int8=True)
                 )
+                # drop the int4 run's recycled bf16 KV caches (two B=16
+                # 2048-slot buffers) before model8 allocates int8 ones —
+                # both pools resident would OOM the chip
+                model._kv_pool.clear()
                 model8 = MoondreamModel(
                     cfg8, params=model.params, tokenizer=ByteTokenizer()
                 )
@@ -312,6 +343,7 @@ def main():
                 "decode_tokens_per_sec": round(tokens_per_sec, 2),
                 "p50_caption_latency_ms": round(p50_caption * 1000, 2),
                 "decode_tokens": args.decode_tokens,
+                "chip_matmul_tfs": round(chip_tfs, 1),
                 "notes": "random weights; reference publishes no baseline numbers (BASELINE.md)",
             }
         )

@@ -146,21 +146,22 @@ def main():
     cfg = config.text
 
     if args.lora_rank:
-        from .lora import init_lora_params, lora_text_loss
+        from .lora import init_lora_params, make_lora_train_step
+        from .trainer import TrainState
 
         train_params = init_lora_params(cfg, args.lora_rank, jax.random.PRNGKey(0))
         opt_state = optimizer.init(train_params)
+        # the shared adapter step takes the frozen base as an ARGUMENT —
+        # closing over it would bake the full base pytree into the jit as
+        # non-donatable constants
+        lora_step = make_lora_train_step(optimizer, cfg)
 
-        @jax.jit
         def train_step(lora_params, opt_state, batch):
-            loss, grads = jax.value_and_grad(
-                lambda lp: lora_text_loss(
-                    lp, text_params, batch["inputs_embeds"], batch["labels"],
-                    batch["label_mask"], cfg,
-                )
-            )(lora_params)
-            updates, opt_state = optimizer.update(grads, opt_state, lora_params)
-            return optax.apply_updates(lora_params, updates), opt_state, loss
+            state, loss = lora_step(
+                TrainState(lora_params, opt_state, jnp.int32(0)),
+                text_params, batch,
+            )
+            return state.params, state.opt_state, loss
 
     else:
         train_params = text_params

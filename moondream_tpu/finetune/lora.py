@@ -48,9 +48,9 @@ def init_lora_params(
     dtype=jnp.float32,
 ) -> dict:
     """Stacked adapter pytree in the variant_state_dict layout:
-    A: (L, r, in) ~ N(0, 1/r) (torch (out,in) factor layout), B: (L, out, r)
-    zeros — so a fresh adapter is an exact no-op (the zero-B invariant
-    tests/test_lora.py pins)."""
+    A: (L, r, in) ~ N(0, 1/r²) i.e. std 1/r (torch (out,in) factor layout),
+    B: (L, out, r) zeros — so a fresh adapter is an exact no-op (the
+    zero-B invariant tests/test_lora.py pins)."""
     L = config.n_layers
     dims = _site_dims(config)
     keys = iter(jax.random.split(key, len(dims)))

@@ -983,7 +983,15 @@ class MoondreamModel:
         )
         return self._symmetric_batch_generate(images, prompt, settings)
 
-    def _symmetric_batch_generate(self, images, prompt_tokens, settings) -> List[str]:
+    def _batched_prompt_prefill(self, images, ids, settings, session_end):
+        """Shared scaffold for the symmetric batched paths (caption/query/
+        detect/point): resolve images to EncodedImages (one batched encode
+        for the fresh ones), right-size and load the batched cache to the
+        session bound (`session_end(pos, length, pad)` is the last position
+        the session can write; a 2048-slot batch-8 2B cache is 3.2GB and
+        typical sessions fit in half), broadcast the shared prompt, and run
+        ONE batched prefill. Returns (logits, hidden, kv, pos, length,
+        bsz, bound, lora)."""
         lora = self._variant(settings)
         encs = [
             im if isinstance(im, EncodedImage) else None for im in images
@@ -995,24 +1003,28 @@ class MoondreamModel:
 
         bsz = len(encs)
         pos = encs[0].pos
-        max_tokens, temperature, top_p = self._settings(settings)
-        ids = list(prompt_tokens)
         length = len(ids)
         pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
-        # right-size the batched cache to the session bound: a 2048-slot
-        # batch-8 2B cache is 3.2GB; typical caption sessions fit in half
-        bound = self._decode_bound(pos + pad + max_tokens + 1)
+        bound = self._decode_bound(session_end(pos, length, pad))
         kv = self._load_kv_batched_fn(bsz, bound)(_concat_enc_kv(encs))
-        ids_padded = ids + [0] * (pad - length)
+        ids_padded = list(ids) + [0] * (pad - length)
         emb = jnp.broadcast_to(
             self.params["text"]["wte"][jnp.asarray(ids_padded)][None],
             (bsz, pad, self.config.text.dim),
         ).astype(self.dtype)
 
-        logits, _, kv = self._prefill_batched_fn(self._kv_bound(pos + pad))(
+        logits, hidden, kv = self._prefill_batched_fn(self._kv_bound(pos + pad))(
             self.params["text"], kv, emb,
             jnp.int32(pos), jnp.int32(length),
             jnp.int32(self.config.text.prefix_attn), lora=lora,
+        )
+        return logits, hidden, kv, pos, length, bsz, bound, lora
+
+    def _symmetric_batch_generate(self, images, prompt_tokens, settings) -> List[str]:
+        max_tokens, temperature, top_p = self._settings(settings)
+        logits, _, kv, pos, length, bsz, bound, lora = self._batched_prompt_prefill(
+            images, prompt_tokens, settings,
+            lambda pos, length, pad: pos + pad + max_tokens + 1,
         )
         first = self._sample_batched_fn()(
             logits, self._next_rng(), jnp.float32(temperature), jnp.float32(top_p)
@@ -1070,24 +1082,11 @@ class MoondreamModel:
         templates = self.config.tokenizer.templates[template_key]
         if templates is None:
             raise NotImplementedError(f"Model does not support {template_key}.")
-        lora = self._variant(settings)
-        encs = [
-            im if isinstance(im, EncodedImage) else None for im in images
-        ]
-        to_encode = [im for im, e in zip(images, encs) if e is None]
-        if to_encode:
-            fresh = iter(self.encode_images(to_encode, settings))
-            encs = [e if e is not None else next(fresh) for e in encs]
-
-        bsz = len(encs)
-        pos = encs[0].pos
         ids = (
             list(templates["prefix"])
             + self._encode_text(" " + object)
             + list(templates["suffix"])
         )
-        length = len(ids)
-        pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
         max_objects = (
             settings.get("max_objects", DEFAULT_MAX_OBJECTS)
             if settings
@@ -1098,20 +1097,13 @@ class MoondreamModel:
         # pos + length is the post-prefill position — keeping the bucket
         # identical keeps reduction spans, and therefore near-tie argmax
         # decisions, bit-identical to single-path detect/point
-        bound = self._decode_bound(
-            pos + length + steps_per_object * max_objects + 2
-        )
-        kv = self._load_kv_batched_fn(bsz, bound)(_concat_enc_kv(encs))
-        ids_padded = ids + [0] * (pad - length)
-        emb = jnp.broadcast_to(
-            self.params["text"]["wte"][jnp.asarray(ids_padded)][None],
-            (bsz, pad, self.config.text.dim),
-        ).astype(self.dtype)
-
-        logits, hidden, kv = self._prefill_batched_fn(self._kv_bound(pos + pad))(
-            self.params["text"], kv, emb,
-            jnp.int32(pos), jnp.int32(length),
-            jnp.int32(self.config.text.prefix_attn), lora=lora,
+        logits, hidden, kv, pos, length, bsz, bound, lora = (
+            self._batched_prompt_prefill(
+                images, ids, settings,
+                lambda pos, length, pad: (
+                    pos + length + steps_per_object * max_objects + 2
+                ),
+            )
         )
         first = jnp.argmax(logits, -1).astype(jnp.int32)
 

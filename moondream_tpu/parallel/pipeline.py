@@ -133,38 +133,34 @@ def make_pp_loss_and_grads(config: TextConfig, mesh: Mesh, n_microbatches: int):
         attn_mask = prefix_attn_mask(T, config.prefix_attn)
         perm = [(i, (i + 1) % S) for i in range(S)]
 
-        def tick(carry, t):
-            buf, nll_sum, mask_sum = carry
+        def tick(buf, t):
             h_out = stage_fn(buf, params["blocks"], params["freqs_cis"], attn_mask)
-
-            # last stage: microbatch m_out = t - (S - 1) exits the pipe
-            m_out = t - (S - 1)
-            valid = (m_out >= 0) & (m_out < M) & (stage == S - 1)
-            lbl = jax.lax.dynamic_index_in_dim(
-                mb_l, jnp.clip(m_out, 0, M - 1), 0, keepdims=False
-            )
-            msk = jax.lax.dynamic_index_in_dim(
-                mb_m, jnp.clip(m_out, 0, M - 1), 0, keepdims=False
-            )
-            dn, dm = _nll_sums(h_out, lbl, msk, params)
-            nll_sum = nll_sum + jnp.where(valid, dn, 0.0)
-            mask_sum = mask_sum + jnp.where(valid, dm, 0.0)
-
             # rotate buffers one stage forward; stage 0 injects microbatch t+1
             sent = jax.lax.ppermute(h_out, "pp", perm)
             nxt = jax.lax.dynamic_index_in_dim(
                 mb_e, jnp.clip(t + 1, 0, M - 1), 0, keepdims=False
             )
             buf = jnp.where(stage == 0, nxt, sent)
-            return (buf, nll_sum, mask_sum), None
+            return buf, h_out
 
         buf0 = jnp.where(stage == 0, mb_e[0], jnp.zeros_like(mb_e[0]))
-        zero = jax.lax.pcast(jnp.float32(0.0), ("pp", "dp"), to="varying")
-        (buf, nll_sum, mask_sum), _ = jax.lax.scan(
-            tick, (buf0, zero, zero), jnp.arange(M + S - 1)
+        _, hs = jax.lax.scan(tick, buf0, jnp.arange(M + S - 1))
+
+        # Loss once, outside the scan: on the LAST stage, tick t's output is
+        # the final hidden of microbatch t-(S-1), so ticks [S-1, S-1+M) are
+        # exactly the M finished microbatches — a static slice. The
+        # full-vocab lm_head is the heaviest projection here, so keeping it
+        # out of the tick body avoids paying it on the S-1 bubble ticks
+        # (the non-last stages still compute it on garbage and mask it —
+        # unavoidable without a cond, which this jax version cannot
+        # differentiate inside shard_map).
+        final_h = hs[S - 1 : S - 1 + M].reshape(M * b, T, D)
+        nll_sum, mask_sum = _nll_sums(
+            final_h, mb_l.reshape(M * b, T), mb_m.reshape(M * b, T), params
         )
-        total_nll = jax.lax.psum(nll_sum, ("pp", "dp"))
-        total_mask = jax.lax.psum(mask_sum, ("pp", "dp"))
+        is_last = (stage == S - 1).astype(jnp.float32)
+        total_nll = jax.lax.psum(nll_sum * is_last, ("pp", "dp"))
+        total_mask = jax.lax.psum(mask_sum * is_last, ("pp", "dp"))
         return total_nll / jnp.maximum(total_mask, 1.0)
 
     def loss_and_grads_local(params, embeds, labels, label_mask):

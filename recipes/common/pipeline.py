@@ -62,17 +62,24 @@ def detect_frames(
         # one batched encode AND one fused lockstep structured decode for
         # the whole chunk (detect_batch) — the decode loop advances all
         # frames per device step instead of running B sequential detects
+        encs = (
+            model.encode_images(imgs)
+            if len(imgs) > 1
+            else [model.encode_image(imgs[0])]
+        )
         try:
-            if len(imgs) > 1:
-                results = model.detect_batch(model.encode_images(imgs), keyword)
-            else:
-                results = [model.detect(model.encode_image(imgs[0]), keyword)]
-        except Exception as e:  # whole-chunk fallback: per-frame resilience
+            results = (
+                model.detect_batch(encs, keyword)
+                if len(encs) > 1
+                else [model.detect(encs[0], keyword)]
+            )
+        except Exception as e:  # decode-stage fallback: per-frame
+            # resilience on the already-computed encodings
             print(f"batched detect failed ({e}); falling back per-frame")
             results = []
-            for im in imgs:
+            for enc in encs:
                 try:
-                    results.append(model.detect(im, keyword))
+                    results.append(model.detect(enc, keyword))
                 except Exception as e2:
                     print(f"detect failed: {e2}")
                     results.append({"objects": []})
