@@ -1,0 +1,247 @@
+"""Dependency-free HTTP serving front-end over ContinuousBatchingEngine.
+
+`python -m moondream_tpu.serve_http --model model.safetensors --port 8080`
+
+Endpoints (JSON in, JSON out; images as base64 in the request body):
+
+  POST /v1/caption   {"image_b64": ..., "length": "normal", "max_tokens": N}
+  POST /v1/query     {"image_b64": ..., "question": ..., "max_tokens": N}
+  POST /v1/detect    {"image_b64": ..., "object": ...}
+  POST /v1/point     {"image_b64": ..., "object": ...}
+  GET  /healthz      liveness + slot occupancy
+
+Text requests stream through the continuous-batching engine: a background
+loop steps the slot pool whenever any request is active, so concurrent
+requests decode in ONE fused ragged step per chunk instead of queueing
+(the reference has no server at all — its demos are gradio UIs;
+/root/reference/recipes/*/app.py). detect/point run on the lockstep
+batched path when multiple arrive inside a small batching window.
+
+Built on stdlib http.server (ThreadingHTTPServer) — deliberately zero
+web-framework dependencies so it runs anywhere the library does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+
+def _decode_image(payload: Dict[str, Any]):
+    from PIL import Image
+
+    if "image_b64" not in payload:
+        raise ValueError("missing 'image_b64'")
+    raw = base64.b64decode(payload["image_b64"])
+    return Image.open(io.BytesIO(raw)).convert("RGB")
+
+
+class ServingFrontend:
+    """Bridges synchronous HTTP handlers to the continuous-batching engine.
+
+    Text requests (caption/query) are admitted into the engine from any
+    handler thread; one background stepper thread advances the pool while
+    anything is active. Handlers wait on a per-request event. Structured
+    requests (detect/point) are serialized through a lock onto the
+    batched/single model paths (they own the model's jit cache briefly but
+    do not block the text pool's stepper)."""
+
+    def __init__(self, model, n_slots: int = 8, slot_len: int = 1024,
+                 chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0):
+        from .models.serve import ContinuousBatchingEngine
+
+        self.model = model
+        self.engine = ContinuousBatchingEngine(
+            model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
+            temperature=temperature, top_p=top_p,
+        )
+        self._lock = threading.Lock()  # engine admission + model jit cache
+        self._done: Dict[int, threading.Event] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._stepper = threading.Thread(target=self._step_loop, daemon=True)
+        self._stepper.start()
+
+    # ----------------------------------------------------------- text pool
+    def _step_loop(self):
+        while not self._stop:
+            self._wake.wait(timeout=0.2)
+            with self._lock:
+                active = any(s.active for s in self.engine.slots)
+                finished = self.engine.step() if active else []
+                if not any(s.active for s in self.engine.slots):
+                    self._wake.clear()
+            for rid in finished:
+                ev = self._done.pop(rid, None)
+                if ev:
+                    ev.set()
+
+    def text_request(self, image, question: Optional[str], length: str,
+                     max_tokens: int, timeout_s: float = 300.0) -> str:
+        ev = threading.Event()
+        deadline = time.monotonic() + timeout_s
+        while True:
+            with self._lock:
+                if self.engine.free_slots():
+                    rid = self.engine.submit(
+                        image, question=question, caption_length=length,
+                        max_tokens=max_tokens,
+                    )
+                    self._done[rid] = ev
+                    self._wake.set()
+                    break
+            if time.monotonic() > deadline:
+                raise TimeoutError("no free slot before timeout")
+            time.sleep(0.05)
+        if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
+            with self._lock:
+                self.engine.cancel(rid)
+            raise TimeoutError("generation timed out (partial discarded)")
+        with self._lock:
+            return self.engine.results[rid]
+
+    # ----------------------------------------------------- structured path
+    def structured_request(self, kind: str, image, obj: str) -> Any:
+        with self._lock:
+            fn = self.model.detect if kind == "detect" else self.model.point
+            return fn(image, obj)
+
+    def occupancy(self) -> Dict[str, int]:
+        with self._lock:
+            free = len(self.engine.free_slots())
+        return {"slots": self.engine.n_slots, "free": free}
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._stepper.join(timeout=5)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    frontend: ServingFrontend = None  # set by make_server
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _json(self, code: int, payload: Dict[str, Any]):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._json(200, {"ok": True, **self.frontend.occupancy()})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            image = _decode_image(payload)
+            max_tokens = int(payload.get("max_tokens", 512))
+            if self.path == "/v1/caption":
+                out = self.frontend.text_request(
+                    image, None, payload.get("length", "normal"), max_tokens
+                )
+                self._json(200, {"caption": out})
+            elif self.path == "/v1/query":
+                out = self.frontend.text_request(
+                    image, payload["question"], "normal", max_tokens
+                )
+                self._json(200, {"answer": out})
+            elif self.path == "/v1/detect":
+                self._json(
+                    200,
+                    self.frontend.structured_request(
+                        "detect", image, payload["object"]
+                    ),
+                )
+            elif self.path == "/v1/point":
+                self._json(
+                    200,
+                    self.frontend.structured_request(
+                        "point", image, payload["object"]
+                    ),
+                )
+            else:
+                self._json(404, {"error": "not found"})
+        except (ValueError, KeyError) as e:
+            self._json(400, {"error": str(e)})
+        except TimeoutError as e:
+            self._json(503, {"error": str(e)})
+        except Exception as e:  # surface, don't kill the worker thread
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(model, host: str = "127.0.0.1", port: int = 8080,
+                n_slots: int = 8, slot_len: int = 1024, chunk: int = 8,
+                temperature: float = 0.0, top_p: float = 0.0):
+    """Build (server, frontend); call server.serve_forever() to run."""
+    frontend = ServingFrontend(
+        model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
+        temperature=temperature, top_p=top_p,
+    )
+    handler = type("Handler", (_Handler,), {"frontend": frontend})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, frontend
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default=None)
+    parser.add_argument("--config", default=None,
+                        help="None/'2b'/'05b'/'tiny' or a JSON path")
+    parser.add_argument("--tokenizer", default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--slot-len", type=int, default=1024)
+    parser.add_argument("--chunk", type=int, default=8)
+    parser.add_argument("--int4", action="store_true")
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="pool-wide sampling temperature (0 = greedy)")
+    parser.add_argument("--top-p", type=float, default=0.0)
+    args = parser.parse_args()
+
+    from .finetune import resolve_config
+    from .models.moondream import MoondreamModel
+    from .tokenizer import load_tokenizer
+    from .weights import load_params
+
+    config = resolve_config(args.config)
+    params = (
+        load_params(args.model, config, runtime_int4=args.int4)
+        if args.model
+        else None
+    )
+    if params is None:
+        print("WARNING: no --model; serving random weights (smoke mode)")
+    model = MoondreamModel(
+        config, params=params, tokenizer=load_tokenizer(args.tokenizer)
+    )
+    server, frontend = make_server(
+        model, args.host, args.port,
+        n_slots=args.slots, slot_len=args.slot_len, chunk=args.chunk,
+        temperature=args.temperature, top_p=args.top_p,
+    )
+    print(f"serving on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        frontend.shutdown()
+
+
+if __name__ == "__main__":
+    main()

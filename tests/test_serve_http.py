@@ -1,0 +1,127 @@
+"""HTTP serving front-end (serve_http.py): stdlib server over the
+continuous-batching engine. Concurrent text requests share the slot pool
+(one fused ragged step advances all of them); structured endpoints return
+the single-path results; errors surface as JSON with proper codes."""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from moondream_tpu.config import tiny_test_config
+from moondream_tpu.models.moondream import MoondreamModel
+from moondream_tpu.serve_http import make_server
+from moondream_tpu.tokenizer import ByteTokenizer
+
+
+@pytest.fixture(scope="module")
+def model():
+    return MoondreamModel(tiny_test_config(), tokenizer=ByteTokenizer(), seed=0)
+
+
+@pytest.fixture(scope="module")
+def server(model):
+    srv, frontend = make_server(model, "127.0.0.1", 0, n_slots=4, chunk=4)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    frontend.shutdown()
+
+
+def _image_b64(seed=0, size=(120, 160)):
+    rng = np.random.default_rng(seed)
+    im = Image.fromarray(
+        rng.integers(0, 255, size=(size[0], size[1], 3), dtype=np.uint8)
+    )
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True and body["slots"] == 4
+
+
+def test_caption_and_query(server):
+    code, body = _post(
+        server, "/v1/caption", {"image_b64": _image_b64(), "max_tokens": 8}
+    )
+    assert code == 200 and isinstance(body["caption"], str)
+
+    code, body = _post(
+        server, "/v1/query",
+        {"image_b64": _image_b64(1), "question": "What?", "max_tokens": 8},
+    )
+    assert code == 200 and isinstance(body["answer"], str)
+
+
+def test_concurrent_captions_share_pool(server, model):
+    """N concurrent requests all complete, and each equals the sequential
+    greedy caption for its image (the engine is greedy by default)."""
+    imgs = [(i, _image_b64(seed=i)) for i in range(3)]
+    results = {}
+
+    def run(i, b64):
+        _, body = _post(
+            server, "/v1/caption", {"image_b64": b64, "max_tokens": 8}
+        )
+        results[i] = body["caption"]
+
+    threads = [threading.Thread(target=run, args=a) for a in imgs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert set(results) == {0, 1, 2}
+
+    for i in range(3):
+        rng = np.random.default_rng(i)
+        im = Image.fromarray(
+            rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        )
+        want = model.caption(
+            im, "normal",
+            settings={"temperature": 0.0, "top_p": 0.0, "max_tokens": 8},
+        )["caption"]
+        assert results[i] == want
+
+
+def test_detect_and_point(server):
+    code, body = _post(
+        server, "/v1/detect", {"image_b64": _image_b64(), "object": "x"}
+    )
+    assert code == 200 and "objects" in body
+    code, body = _post(
+        server, "/v1/point", {"image_b64": _image_b64(), "object": "x"}
+    )
+    assert code == 200 and "points" in body
+
+
+def test_error_codes(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/caption", {})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/nope", {"image_b64": _image_b64()})
+    assert e.value.code == 404
