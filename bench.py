@@ -90,12 +90,15 @@ def main():
 
     chip_tfs = 0.0
     try:
-        for attempt in range(3):
+        # Degraded windows last many minutes (observed 0.1-2 TF/s for 10+ min);
+        # a headline measured inside one is garbage, so spend up to ~8 min
+        # waiting for a healthy window before giving up and proceeding.
+        for attempt in range(9):
             chip_tfs = probe_tfs()
             log(f"chip probe: {chip_tfs:.1f} TF/s bf16 matmul")
             if chip_tfs > 80:
                 break
-            if attempt < 2:
+            if attempt < 8:
                 log("chip degraded; waiting 60s before retry...")
                 time.sleep(60)
     except Exception as e:
@@ -252,17 +255,21 @@ def main():
         # intermittently degrades several-fold for minutes; best-of-2 over
         # ~40-image streams reports sustained device throughput rather
         # than whichever interference window the single run landed in
-        ips = 0.0
-        for rep in range(2):
+        reps = []
+        for rep in range(3):
             log(f"timing pipelined stream of {len(stream)} images...")
             t0 = time.perf_counter()
             out = pipe.caption(stream, settings=settings)
             dt = time.perf_counter() - t0
             assert len(out) == len(stream)
-            ips = max(ips, len(stream) / dt)
+            reps.append(len(stream) / dt)
             log(f"pipelined B={B}{tag}: {dt:.2f}s for {len(stream)} images "
                 f"-> {len(stream)/dt:.3f} images/s")
-        return ips
+            # third rep only when the first two disagree >20% — i.e. one of
+            # them straddled an interference window on the time-shared chip
+            if rep == 1 and min(reps) > 0.8 * max(reps):
+                break
+        return max(reps)
 
     B = args.batch
     n_batches = max(4, args.runs // 2)
