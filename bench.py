@@ -46,6 +46,9 @@ def main():
     parser.add_argument("--skip-int4", action="store_true",
                         help="skip the int4 throughput config (faster A/B "
                              "runs of the bf16 pipelined config)")
+    parser.add_argument("--decode-only", action="store_true",
+                        help="measure just the single-stream fused decode "
+                             "loop (tok/s) and exit — for kernel A/Bs")
     parser.add_argument("--profile", default="",
                         help="write a jax.profiler trace of one caption to "
                              "this directory (view with tensorboard/xprof)")
@@ -172,6 +175,39 @@ def main():
         )
         jax.block_until_ready(res.tokens)
         return res
+
+    if args.decode_only:
+        log("decode-only: warmup...")
+        enc = model.encode_image(image)
+        prompt = list(config.tokenizer.templates["caption"]["normal"])
+
+        def one_decode():
+            kv = model.load_encoded_image(enc)
+            _, _, next_tok, pos, kv = model._prefill_prompt(
+                kv, prompt, enc.pos, temperature=0.0, top_p=0.0
+            )
+            jax.block_until_ready(next_tok)
+            t0 = time.perf_counter()
+            res = gen_fixed(
+                model.params["text"], kv, next_tok, jnp.int32(pos),
+                jax.random.PRNGKey(0), jnp.float32(0.0), jnp.float32(0.0),
+                jnp.int32(args.decode_tokens),
+            )
+            jax.block_until_ready(res.tokens)
+            return time.perf_counter() - t0
+
+        one_decode()
+        times = [one_decode() for _ in range(args.runs)]
+        tps = args.decode_tokens / float(np.median(times))
+        log(f"decode: {tps:.1f} tok/s (median of {args.runs})")
+        print(json.dumps({
+            "metric": f"decode_tokens_per_sec_{args.config}",
+            "value": round(tps, 2), "unit": "tokens/sec",
+            "vs_baseline": None, "int4": args.int4, "kv_int8": args.kv_int8,
+            "decode_tokens": args.decode_tokens,
+            "chip_matmul_tfs": round(chip_tfs, 1),
+        }))
+        return
 
     log("warmup/compile...")
     t0 = time.perf_counter()

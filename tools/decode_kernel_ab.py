@@ -40,13 +40,22 @@ def main():
     pos = jnp.int32(900)
     prefix = jnp.int32(730)
 
+    # The tunneled backend's dispatch+fetch round trip is ~25-30ms — far
+    # larger than the 24-layer kernel pass itself. Repeat the pass REPS
+    # times inside one jit (carrying q so XLA can't elide iterations) and
+    # fence once, so the RTT amortizes to noise.
+    REPS = 50
+
     def loop_bf16(q, k, v):
         def body(c, layer):
             o = decode_attention_cached(c, k, v, layer, pos, prefix, kb)
             return o.astype(c.dtype), None
 
-        o, _ = jax.lax.scan(body, q, jnp.arange(L, dtype=jnp.int32))
-        return o
+        def rep(_, c):
+            o, _ = jax.lax.scan(body, c, jnp.arange(L, dtype=jnp.int32))
+            return o
+
+        return jax.lax.fori_loop(0, REPS, rep, q)
 
     def loop_int8(q, k, v, ks, vs):
         def body(c, layer):
@@ -55,8 +64,11 @@ def main():
             )
             return o.astype(c.dtype), None
 
-        o, _ = jax.lax.scan(body, q, jnp.arange(L, dtype=jnp.int32))
-        return o
+        def rep(_, c):
+            o, _ = jax.lax.scan(body, c, jnp.arange(L, dtype=jnp.int32))
+            return o
+
+        return jax.lax.fori_loop(0, REPS, rep, q)
 
     fb = jax.jit(loop_bf16)
     fq = jax.jit(loop_int8)
@@ -67,13 +79,13 @@ def main():
          L * 2 * B * hp * kb * (dd * 1 + 4)),
     ]:
         o = fn(*args)
-        jax.block_until_ready(o)
+        jax.device_get(o.ravel()[0])
         best = 1e9
         for _ in range(5):
             t0 = time.perf_counter()
             o = fn(*args)
             jax.device_get(o.ravel()[0])
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, (time.perf_counter() - t0) / REPS)
         log(f"{name}: {1000*best:.2f} ms for {L} layers "
             f"({1000*best/L:.3f} ms/layer-step, "
             f"{bytes_step/best/1e9:.0f} GB/s cache read)")
