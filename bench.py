@@ -322,7 +322,8 @@ def main():
     # ---- int4 serving config: packed weights free ~2GB HBM, so a larger
     # batch fits and each decode step streams 4x less weight traffic.
     int4_imgs_per_sec = None
-    int4_kv8_imgs_per_sec = None
+    serving_tps_int4 = None
+    serving_tps_int4_kv8 = None
     int4_batch = args.int4_batch
     if not args.int4 and not args.skip_int4 and args.config == "2b":
         try:
@@ -341,28 +342,57 @@ def main():
             log(f"int4 B={int4_batch} config failed ({type(e).__name__}: {e}); "
                 "reporting bf16 only")
 
-        # ---- int4 weights + int8 KV cache: the remaining decode HBM
-        # traffic at large batch is the cache read; int8 halves it. Same
-        # params, config flipped (cache dtype is a trace-time config bit).
+        # ---- int4 weights + int8 KV cache, measured where it matters:
+        # steady-state SERVING decode. The pipelined caption config is
+        # encode-bound (ViT, not the decode stage, sets its throughput),
+        # so cache-read savings are invisible there; in continuous-batching
+        # decode at high slot occupancy the cache read IS the dominant HBM
+        # stream (3.2GB/step bf16 at 16x1024 slots vs 0.7GB int4 weights).
+        # Healthy-window kernel A/B: int8 0.098 vs bf16 0.162 ms/layer-step
+        # (tools/decode_kernel_ab.py).
         if int4_imgs_per_sec is not None and not args.kv_int8:
+            def serving_decode_tps(bench_model, tag):
+                from moondream_tpu.models.serve import ContinuousBatchingEngine
+
+                eng = ContinuousBatchingEngine(
+                    bench_model, n_slots=16, slot_len=1024, chunk=8
+                )
+                imgs = [
+                    Image.fromarray(rng.integers(
+                        0, 255, size=(1080, 1440, 3), dtype=np.uint8))
+                    for _ in range(16)
+                ]
+                eng.submit_many(imgs, max_tokens=1024)
+                for _ in range(3):  # warm/compile the ragged chunk fn
+                    eng.step()
+                start = sum(len(s.tokens) for s in eng.slots)
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    eng.step()
+                jax.block_until_ready(eng.cur)
+                dt = time.perf_counter() - t0
+                tokens = sum(len(s.tokens) for s in eng.slots) - start
+                log(f"serving decode{tag}: {tokens} tokens in {dt:.2f}s "
+                    f"-> {tokens/dt:.0f} tok/s aggregate (16 slots)")
+                return tokens / dt
+
             try:
                 import dataclasses
 
+                model._kv_pool.clear()
+                serving_tps_int4 = serving_decode_tps(model, " int4")
                 cfg8 = dataclasses.replace(
                     config, text=dataclasses.replace(config.text, kv_int8=True)
                 )
-                # drop the int4 run's recycled bf16 KV caches (two B=16
-                # 2048-slot buffers) before model8 allocates int8 ones —
-                # both pools resident would OOM the chip
+                # drop recycled bf16 KV buffers before model8 allocates
+                # int8 ones — both pools resident would OOM the chip
                 model._kv_pool.clear()
                 model8 = MoondreamModel(
                     cfg8, params=model.params, tokenizer=ByteTokenizer()
                 )
-                int4_kv8_imgs_per_sec = run_pipelined(
-                    int4_batch, n_batches, tag=" int4+kv8", bench_model=model8
-                )
+                serving_tps_int4_kv8 = serving_decode_tps(model8, " int4+kv8")
             except Exception as e:
-                log(f"int4+kv8 config failed ({type(e).__name__}: {e})")
+                log(f"serving decode config failed ({type(e).__name__}: {e})")
 
     print(
         json.dumps(
@@ -376,9 +406,12 @@ def main():
                 "int4_b16_images_per_sec": (
                     round(int4_imgs_per_sec, 4) if int4_imgs_per_sec else None
                 ),
-                "int4_kv8_images_per_sec": (
-                    round(int4_kv8_imgs_per_sec, 4)
-                    if int4_kv8_imgs_per_sec else None
+                "serving_decode_tok_s_int4": (
+                    round(serving_tps_int4, 1) if serving_tps_int4 else None
+                ),
+                "serving_decode_tok_s_int4_kv8": (
+                    round(serving_tps_int4_kv8, 1)
+                    if serving_tps_int4_kv8 else None
                 ),
                 "int4_batch": int4_batch,
                 "single_image_images_per_sec": round(images_per_sec, 4),
