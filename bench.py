@@ -355,7 +355,8 @@ def main():
                 from moondream_tpu.models.serve import ContinuousBatchingEngine
 
                 eng = ContinuousBatchingEngine(
-                    bench_model, n_slots=16, slot_len=1024, chunk=8
+                    bench_model, n_slots=16, slot_len=1024, chunk=8,
+                    pipeline_depth=2,
                 )
                 imgs = [
                     Image.fromarray(rng.integers(

@@ -52,7 +52,15 @@ class ContinuousBatchingEngine:
         chunk: int = 8,
         temperature: float = 0.0,
         top_p: float = 0.0,
+        pipeline_depth: int = 1,
     ):
+        """`pipeline_depth` > 1 overlaps each chunk's host round trip
+        (token fetch + callbacks) with the NEXT chunk's device compute:
+        step() dispatches chunk i+1 before fetching chunk i's tokens, so
+        the device never idles on the host. Costs one chunk of latency on
+        step() results/streaming and up to depth-1 wasted no-op chunks at
+        a request's tail; throughput-oriented callers (HTTP server,
+        bench) use 2."""
         self.model = model
         self.config = model.config.text
         self.n_slots = n_slots
@@ -60,6 +68,8 @@ class ContinuousBatchingEngine:
         self.chunk = chunk
         self.temperature = temperature
         self.top_p = top_p
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._inflight: List[Any] = []
 
         self.kv = KVCache.create(
             self.config, batch=n_slots, dtype=model.dtype, slots=self.slot_len
@@ -226,9 +236,19 @@ class ContinuousBatchingEngine:
 
     def step(self) -> List[int]:
         """Advance all active slots by one chunk. Returns req_ids finished
-        in this step."""
-        if not any(s.active for s in self.slots):
-            return []
+        in this step (with pipeline_depth > 1, results lag one chunk)."""
+        have_active = any(s.active for s in self.slots)
+        if have_active:
+            self._dispatch_chunk()
+        if self._inflight and (
+            len(self._inflight) >= self.pipeline_depth or not have_active
+        ):
+            return self._process_oldest()
+        return []
+
+    def _dispatch_chunk(self):
+        """Enqueue one fused ragged-decode chunk on the current device
+        state (async dispatch — no host sync) and start the token fetch."""
         res = self._chunk_fn()(
             self.model.params["text"], self.kv, self.cur, self.pos,
             self.active, self.budget, self.rng,
@@ -237,6 +257,21 @@ class ContinuousBatchingEngine:
         self.kv, self.rng = res.kv, res.rng
         self.cur, self.pos = res.cur, res.pos
         self.active, self.budget = res.active, res.budget
+        try:  # start the D2H copy now so the later device_get doesn't wait
+            for x in (res.tokens, res.emitted, res.active):
+                x.copy_to_host_async()
+        except Exception:
+            pass
+        # record who owned each row at dispatch time: a cancel + resubmit
+        # while this chunk is in flight reassigns the slot to a new req_id,
+        # whose tokens must not be credited with the old rows
+        owners = {
+            i: s.req_id for i, s in enumerate(self.slots) if s.active
+        }
+        self._inflight.append((res, owners))
+
+    def _process_oldest(self) -> List[int]:
+        res, owners = self._inflight.pop(0)
         # ONE host transfer for the whole chunk (separate np.asarray calls
         # would each pay the tunnel's round-trip jitter)
         toks, emitted_mask, still_active = jax.device_get(
@@ -245,7 +280,7 @@ class ContinuousBatchingEngine:
 
         finished = []
         for i, slot in enumerate(self.slots):
-            if not slot.active:
+            if not slot.active or owners.get(i) != slot.req_id:
                 continue
             emitted = [int(t) for t, e in zip(toks[i], emitted_mask[i]) if e]
             slot.tokens.extend(emitted)
@@ -287,6 +322,6 @@ class ContinuousBatchingEngine:
     def drain(self) -> Dict[int, str]:
         """Step until every admitted request completes; returns all
         results accumulated so far."""
-        while any(s.active for s in self.slots):
+        while any(s.active for s in self.slots) or self._inflight:
             self.step()
         return dict(self.results)

@@ -60,6 +60,9 @@ class ServingFrontend:
         self.engine = ContinuousBatchingEngine(
             model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
             temperature=temperature, top_p=top_p,
+            # overlap each chunk's host round trip with the next chunk's
+            # device compute; costs one chunk of streaming latency
+            pipeline_depth=2,
         )
         self._lock = threading.Lock()  # engine admission + model jit cache
         self._done: Dict[int, threading.Event] = {}
@@ -73,9 +76,11 @@ class ServingFrontend:
         while not self._stop:
             self._wake.wait(timeout=0.2)
             with self._lock:
-                active = any(s.active for s in self.engine.slots)
+                active = (any(s.active for s in self.engine.slots)
+                          or bool(self.engine._inflight))
                 finished = self.engine.step() if active else []
-                if not any(s.active for s in self.engine.slots):
+                if not (any(s.active for s in self.engine.slots)
+                        or self.engine._inflight):
                     self._wake.clear()
             for rid in finished:
                 ev = self._done.pop(rid, None)

@@ -158,3 +158,44 @@ def test_serving_cancel(model, images):
     # cancelled result is the partial text decoded so far
     assert isinstance(out[r1], str)
     assert partial_len <= 4  # one chunk's worth
+
+def test_pipelined_step_overlap_matches_depth1(model, images):
+    """pipeline_depth=2 (dispatch chunk i+1 before fetching chunk i's
+    tokens) must produce identical results and streams under staggered
+    admission — only the host-visible timing may differ."""
+    refs = [
+        _sequential_caption(model, images[0], 10),
+        _sequential_query(model, images[1], "what?", 10),
+        _sequential_caption(model, images[2], 10),
+    ]
+    stream = []
+    eng = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=3, pipeline_depth=2
+    )
+    r0 = eng.submit(images[0], max_tokens=10,
+                    on_text=lambda rid, ch: stream.append((rid, ch)))
+    eng.step()  # dispatch only — results lag one chunk
+    r1 = eng.submit(images[1], question="what?", max_tokens=10)
+    eng.step()
+    r2 = eng.submit(images[2], max_tokens=10)
+    out = eng.drain()
+    assert not eng._inflight
+    assert out[r0] == refs[0]
+    assert out[r1] == refs[1]
+    assert out[r2] == refs[2]
+    assert "".join(ch for rid, ch in stream if rid == r0) == refs[0]
+
+
+def test_pipelined_cancel_and_slot_reuse(model, images):
+    """Cancel while a chunk is in flight, then resubmit into the freed
+    slot: the old chunk's rows must not be credited to the new request."""
+    eng = ContinuousBatchingEngine(
+        model, n_slots=1, slot_len=1024, chunk=4, pipeline_depth=2
+    )
+    r0 = eng.submit(images[0], max_tokens=12)
+    eng.step()  # chunk 1 in flight, nothing processed yet
+    assert eng.cancel(r0)
+    r1 = eng.submit(images[1], max_tokens=6)
+    out = eng.drain()
+    assert out[r1] == _sequential_caption(model, images[1], 6)
+    assert r0 in out  # cancelled: text decoded so far (may be empty)
