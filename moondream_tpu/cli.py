@@ -39,6 +39,12 @@ def main():
                              "scales: halves cache HBM footprint and "
                              "decode cache-read traffic (slight numeric "
                              "drift vs bf16 caches)")
+    parser.add_argument("--int8-vision", action="store_true",
+                        help="quantize the ViT block matmuls to int8 "
+                             "(2x MXU rate; ~15%% faster encode). PTQ — "
+                             "validate accuracy on your checkpoint first; "
+                             "the reference's int4 checkpoints quantize "
+                             "text+region only")
     args = parser.parse_args()
 
     import jax
@@ -73,6 +79,13 @@ def main():
 
         model.params = {
             **model.params, "text": quantize_text_params(model.params["text"])
+        }
+    if args.int8_vision:
+        from .models.vision import quantize_vision_params
+
+        model.params = {
+            **model.params,
+            "vision": quantize_vision_params(model.params["vision"]),
         }
 
     if args.image:

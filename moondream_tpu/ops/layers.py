@@ -27,8 +27,33 @@ def gelu_approx(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=True)
 
 
+def _q8_act(x: jax.Array):
+    """Dynamic per-row symmetric int8 quantization of activations.
+    Returns (codes int8, scale fp32 broadcastable over the output)."""
+    xf = x.astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+    return jnp.round(xf / a).astype(jnp.int8), a
+
+
 def linear(x: jax.Array, w: dict) -> jax.Array:
-    """y = x @ w['w'] + w['b'], accumulating in fp32 on the MXU."""
+    """y = x @ w['w'] + w['b'], accumulating in fp32 on the MXU.
+
+    When `w` carries int8-quantized weights ({'wq': int8 (in, out),
+    'scale': fp32 (1, out)} from models.vision.quantize_vision_params),
+    the product runs as int8 x int8 -> int32 — the MXU's int8 path is 2x
+    the bf16 rate on v5e — with dynamically quantized activations, then
+    rescales by (row amax/127) * per-channel weight scale."""
+    if "wq" in w:
+        codes, a = _q8_act(x)
+        y = jax.lax.dot_general(
+            codes, w["wq"],
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * a * w["scale"]
+        if w.get("b") is not None:
+            y = y + w["b"].astype(jnp.float32)
+        return y.astype(x.dtype)
     y = jnp.dot(x, w["w"], preferred_element_type=jnp.float32)
     if w.get("b") is not None:
         y = y + w["b"].astype(jnp.float32)

@@ -118,3 +118,63 @@ def test_quantized_model_end_to_end():
     assert isinstance(ans, str)
     det = qmodel.detect(image, "thing", settings=greedy)
     assert "objects" in det
+
+
+def test_int8_vision_encoder_close_to_bf16():
+    """quantize_vision_params: int8 block matmuls track the bf16 encoder
+    closely (per-output-channel weights + dynamic per-row activations)."""
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models.vision import (
+        init_vision_params,
+        quantize_vision_params,
+        vision_encoder,
+    )
+
+    cfg = tiny_test_config().vision
+    w = init_vision_params(cfg, jax.random.PRNGKey(0))
+    wq = quantize_vision_params(w)
+    assert "blocks" not in wq and "wq" in wq["blocks_q"]["attn"]["qkv"]
+
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (2, cfg.crop_size, cfg.crop_size, 3),
+        jnp.bfloat16, -1.0, 1.0,
+    )
+    ref = np.asarray(vision_encoder(x, w, cfg), dtype=np.float32)
+    out = np.asarray(vision_encoder(x, wq, cfg), dtype=np.float32)
+    # cosine similarity per token embedding
+    num = (ref * out).sum(-1)
+    den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    cos = num / den
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_int8_vision_model_end_to_end():
+    """Full caption/detect pipeline with an int8-quantized ViT."""
+    from PIL import Image
+
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models.moondream import MoondreamModel
+    from moondream_tpu.models.vision import quantize_vision_params
+    from moondream_tpu.tokenizer import ByteTokenizer
+
+    cfg = tiny_test_config()
+    model = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
+    qmodel = MoondreamModel(
+        cfg,
+        params={
+            **model.params,
+            "vision": quantize_vision_params(model.params["vision"]),
+        },
+        tokenizer=ByteTokenizer(),
+    )
+    rng = np.random.default_rng(0)
+    image = Image.fromarray(
+        rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    )
+    greedy = {"temperature": 0.0, "top_p": 0.0, "max_tokens": 6}
+    out1 = qmodel.caption(image, "normal", settings=greedy)["caption"]
+    out2 = qmodel.caption(image, "normal", settings=greedy)["caption"]
+    assert out1 == out2
+    det = qmodel.detect(image, "thing", settings=greedy)
+    assert "objects" in det

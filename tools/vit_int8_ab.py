@@ -1,0 +1,57 @@
+"""A/B the ViT encoder: bf16 vs int8 block matmuls, at the pipelined-bench
+shape (120 crops of 378^2 -> 729 tokens each). Diagnostic."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from moondream_tpu.config import MOONDREAM_2B
+    from moondream_tpu.models.vision import (
+        init_vision_params, quantize_vision_params, vision_encoder,
+    )
+
+    cfg = MOONDREAM_2B.vision
+    w = init_vision_params(cfg, jax.random.PRNGKey(0))
+    wq = quantize_vision_params(w)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (120, cfg.crop_size, cfg.crop_size, 3),
+        jnp.bfloat16, -1.0, 1.0,
+    )
+
+    def probe():
+        a = jnp.ones((8192, 8192), jnp.bfloat16)
+        f = jax.jit(lambda a: a @ a)
+        f(a).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            c = f(a)
+        jax.device_get(c.ravel()[0])
+        return 10 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+
+    print(f"probe: {probe():.1f} TF/s", flush=True)
+    enc = jax.jit(lambda x, w: vision_encoder(x, w, cfg))
+    for name, params in [("bf16", w), ("int8", wq)]:
+        o = enc(x, params)
+        jax.device_get(o.ravel()[0])
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = enc(x, params)
+            jax.device_get(o.ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name}: {1000*best:.1f} ms for 120 crops "
+              f"({1000*best/120:.2f} ms/crop)", flush=True)
+    print(f"probe after: {probe():.1f} TF/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
