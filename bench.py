@@ -49,6 +49,12 @@ def main():
     parser.add_argument("--decode-only", action="store_true",
                         help="measure just the single-stream fused decode "
                              "loop (tok/s) and exit — for kernel A/Bs")
+    parser.add_argument("--spec", type=int, default=0, metavar="K",
+                        help="with --decode-only: use the speculative "
+                             "(n-gram draft + K-token verify) greedy loop. "
+                             "NOTE: random weights degenerate to repetition "
+                             "so acceptance — and tok/s — is an UPPER bound "
+                             "vs real checkpoints")
     parser.add_argument("--profile", default="",
                         help="write a jax.profiler trace of one caption to "
                              "this directory (view with tensorboard/xprof)")
@@ -181,6 +187,23 @@ def main():
         enc = model.encode_image(image)
         prompt = list(config.tokenizer.templates["caption"]["normal"])
 
+        if args.spec:
+            spec_fixed = jax.jit(
+                partial(
+                    engine.generate_text_spec,
+                    config=config.text,
+                    eos_id=-1,
+                    suppress_ids=(config.tokenizer.answer_id,),
+                    buffer=config.text.max_context,
+                    spec_k=args.spec,
+                    kv_bound=(
+                        kv_bound if kv_bound < config.text.max_context
+                        else None
+                    ),
+                ),
+                donate_argnums=(1,),
+            )
+
         def one_decode():
             kv = model.load_encoded_image(enc)
             _, _, next_tok, pos, kv = model._prefill_prompt(
@@ -188,25 +211,39 @@ def main():
             )
             jax.block_until_ready(next_tok)
             t0 = time.perf_counter()
-            res = gen_fixed(
-                model.params["text"], kv, next_tok, jnp.int32(pos),
-                jax.random.PRNGKey(0), jnp.float32(0.0), jnp.float32(0.0),
-                jnp.int32(args.decode_tokens),
-            )
+            if args.spec:
+                res = spec_fixed(
+                    model.params["text"], kv, next_tok, jnp.int32(pos),
+                    jnp.int32(args.decode_tokens),
+                )
+            else:
+                res = gen_fixed(
+                    model.params["text"], kv, next_tok, jnp.int32(pos),
+                    jax.random.PRNGKey(0), jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.int32(args.decode_tokens),
+                )
             jax.block_until_ready(res.tokens)
             return time.perf_counter() - t0
 
         one_decode()
         times = [one_decode() for _ in range(args.runs)]
         tps = args.decode_tokens / float(np.median(times))
-        log(f"decode: {tps:.1f} tok/s (median of {args.runs})")
-        print(json.dumps({
+        tag = f" (spec k={args.spec})" if args.spec else ""
+        log(f"decode{tag}: {tps:.1f} tok/s (median of {args.runs})")
+        out = {
             "metric": f"decode_tokens_per_sec_{args.config}",
             "value": round(tps, 2), "unit": "tokens/sec",
             "vs_baseline": None, "int4": args.int4, "kv_int8": args.kv_int8,
             "decode_tokens": args.decode_tokens,
             "chip_matmul_tfs": round(chip_tfs, 1),
-        }))
+        }
+        if args.spec:
+            out["spec_k"] = args.spec
+            out["spec_note"] = (
+                "random weights repeat heavily; acceptance (and tok/s) is "
+                "an upper bound vs real checkpoints"
+            )
+        print(json.dumps(out))
         return
 
     log("warmup/compile...")

@@ -39,6 +39,10 @@ def main():
                              "scales: halves cache HBM footprint and "
                              "decode cache-read traffic (slight numeric "
                              "drift vs bf16 caches)")
+    parser.add_argument("--spec", type=int, default=0, metavar="K",
+                        help="speculative greedy decoding with K-token "
+                             "n-gram drafts (exact: outputs identical to "
+                             "plain greedy; applies when temperature=0)")
     parser.add_argument("--int8-vision", action="store_true",
                         help="quantize the ViT block matmuls to int8 "
                              "(2x MXU rate; ~15%% faster encode). PTQ — "
@@ -111,6 +115,8 @@ def main():
     settings = {"max_tokens": args.max_tokens}
     if args.sampler == "greedy":
         settings["temperature"] = 0.0
+    if args.spec:
+        settings["speculative"] = args.spec
 
     if args.benchmark:
         _benchmark(model, image, args.prompt, settings)

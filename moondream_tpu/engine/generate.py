@@ -169,6 +169,153 @@ def generate_text(
     return GenerateResult(tokens=tokens, count=count, kv=kv, pos=pos)
 
 
+def _lm_logits_seq(h: jax.Array, text_params: dict) -> jax.Array:
+    """_lm_logits over a (T, D) span -> (T, V)."""
+    from ..ops.layers import layer_norm
+
+    hn = layer_norm(h, text_params["post_ln"])
+    logits = jnp.dot(
+        hn, text_params["lm_head"]["w"], preferred_element_type=jnp.float32
+    )
+    b = text_params["lm_head"]["b"]
+    if b is not None:
+        logits = logits + b.astype(jnp.float32)
+    return logits.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def generate_text_spec(
+    text_params: dict,
+    kv: KVCache,
+    first_token: jax.Array,
+    pos: jax.Array,
+    max_tokens: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    buffer: int,
+    spec_k: int = 8,
+    lora: Optional[dict] = None,
+    steer: Optional[jax.Array] = None,
+    kv_bound: Optional[int] = None,
+) -> GenerateResult:
+    """Speculative greedy generation: n-gram (prompt-lookup) drafting with
+    exact verification — output tokens are IDENTICAL to `generate_text` at
+    temperature 0 (verification accepts a draft token only when it equals
+    the greedy continuation), but each loop iteration advances 1..spec_k
+    tokens for ONE pass over the weights.
+
+    Single-stream decode is HBM-bound (the 2B bf16 weights are 2.8GB per
+    token); a spec_k-token verify forward costs the same weight traffic as
+    one decode step, so tokens/sec scales with the draft acceptance rate.
+    Drafts come from the generated history itself: the most recent position
+    where the current bigram (prev, cur) occurred supplies the following
+    spec_k-1 tokens (no draft model, no extra weights — the TPU-native
+    analog of vLLM's prompt-lookup / ngram speculator). When no bigram
+    matches, the draft is the current token repeated (covers degenerate
+    repetition); wrong drafts cost nothing beyond the already-paid forward.
+
+    The drafting, the k-token verify (a short prefill at positions
+    pos..pos+k-1 — stale cache rows past the accepted prefix are
+    overwritten by the next iteration's contiguous writes before they can
+    be attended), acceptance, and the buffer scatter all run inside one
+    device-resident `lax.while_loop`: zero host syncs per token, same as
+    the plain fused loop.
+
+    `kv_bound`, when given, must cover pos + max_tokens + spec_k (the
+    verify span can overrun the last emitted token by spec_k-1 slots).
+    Near the context end the loop stops spec_k-1 tokens earlier than the
+    plain loop would (the verify span must fit).
+    """
+    tokens0 = jnp.zeros((buffer,), jnp.int32)
+    limit = jnp.minimum(
+        max_tokens, jnp.int32(config.max_context - spec_k + 1) - pos
+    )
+    if kv_bound is not None:
+        limit = jnp.minimum(limit, jnp.int32(kv_bound - spec_k + 1) - pos)
+    j_idx = jnp.arange(buffer, dtype=jnp.int32)
+
+    def cond(c):
+        kv_, pos_, tok, i, toks = c
+        return (tok != eos_id) & (i < limit)
+
+    def body(c):
+        kv_, pos_, tok, i, toks = c
+        toks = toks.at[i].set(tok)
+
+        # ---- draft: most recent bigram match in the emitted history
+        prev = toks[jnp.maximum(i - 1, 0)]
+        succ = jnp.roll(toks, -1)  # succ[j] = toks[j+1]
+        match = (j_idx <= i - 2) & (toks == prev) & (succ == tok)
+        any_match = jnp.any(match)
+        j_best = jnp.max(jnp.where(match, j_idx, -1))
+        start = jnp.clip(j_best + 2, 0, buffer - (spec_k - 1))
+        draft = jax.lax.dynamic_slice(toks, (start,), (spec_k - 1,))
+        draft = jnp.where(any_match, draft, jnp.full_like(draft, tok))
+
+        # ---- verify: one spec_k-token forward (prefill-style span)
+        q_toks = jnp.concatenate([tok[None], draft])
+        embs = text_params["wte"][q_toks][None, :, :]
+        hidden, kv_ = text_ops.text_decoder(
+            embs, text_params, kv_, pos_, jnp.int32(0), config, lora,
+            kv_bound, steer,
+        )
+        logits = _lm_logits_seq(hidden[0], text_params)  # (spec_k, V)
+        for sid in suppress_ids:
+            logits = logits.at[:, sid].set(NEG_INF)
+        g = jnp.argmax(logits, -1).astype(jnp.int32)  # greedy continuations
+
+        # ---- accept the longest draft prefix matching the greedy chain
+        ok = (draft == g[:-1]).astype(jnp.int32)
+        m = 1 + jnp.sum(jnp.cumprod(ok))  # tokens emitted this iteration
+        # stop at EOS: cut m so the first in-range EOS becomes the carried
+        # token (cond exits without emitting it, like the plain loop)
+        is_eos = g == eos_id
+        eos_pos = jnp.argmax(is_eos)
+        m = jnp.where(jnp.any(is_eos) & (eos_pos + 1 < m), eos_pos + 1, m)
+        m = jnp.minimum(m, limit - i)  # never emit past max_tokens
+
+        # interior accepted tokens g[0..m-2] land at toks[i+1..i+m-1];
+        # g[m-1] is carried and written by the next iteration
+        for j in range(spec_k - 1):
+            idx = jnp.where(j + 1 < m, i + 1 + j, buffer)
+            toks = toks.at[idx].set(g[j], mode="drop")
+        nxt = g[m - 1]
+        return (kv_, pos_ + m, nxt, i + m, toks)
+
+    kv, pos, _, count, tokens = jax.lax.while_loop(
+        cond, body, (kv, pos, first_token, jnp.int32(0), tokens0)
+    )
+    return GenerateResult(tokens=tokens, count=count, kv=kv, pos=pos)
+
+
+def verify_step(
+    text_params: dict,
+    kv: KVCache,
+    q_toks: jax.Array,
+    pos: jax.Array,
+    config: TextConfig,
+    suppress_ids: Tuple[int, ...] = (),
+    lora: Optional[dict] = None,
+    steer: Optional[jax.Array] = None,
+    kv_bound: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """One speculative verify step for the STREAMING path: forward the
+    (spec_k,) token span q_toks at positions pos..pos+spec_k-1 and return
+    (greedy continuation ids (spec_k,) int32, kv). The host drafts (bigram
+    lookup over its own generated-id list), computes acceptance, and feeds
+    the streamer — so each host round trip advances 1..spec_k tokens
+    instead of 1 (the tunnel RTT dominates per-token streaming here)."""
+    embs = text_params["wte"][q_toks][None, :, :]
+    hidden, kv = text_ops.text_decoder(
+        embs, text_params, kv, pos, jnp.int32(0), config, lora, kv_bound,
+        steer,
+    )
+    logits = _lm_logits_seq(hidden[0], text_params)
+    for sid in suppress_ids:
+        logits = logits.at[:, sid].set(NEG_INF)
+    return jnp.argmax(logits, -1).astype(jnp.int32), kv
+
+
 class ReasoningResult(NamedTuple):
     tokens: jax.Array  # (buffer,) int32
     is_coord: jax.Array  # (buffer,) bool — token i was a grounding coordinate

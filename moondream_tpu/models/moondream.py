@@ -234,6 +234,32 @@ class MoondreamModel:
 
         return self._jit(("gen", eos_id, suppress, buffer, kv_bound), build)
 
+    def _spec_fn(
+        self,
+        eos_id: int,
+        suppress: Tuple[int, ...],
+        buffer: int,
+        spec_k: int,
+        kv_bound: Optional[int] = None,
+    ):
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(
+                    engine.generate_text_spec,
+                    config=cfg,
+                    eos_id=eos_id,
+                    suppress_ids=suppress,
+                    buffer=buffer,
+                    spec_k=spec_k,
+                    kv_bound=kv_bound,
+                ),
+                donate_argnums=(1,),
+            )
+
+        return self._jit(("spec", eos_id, suppress, buffer, spec_k, kv_bound), build)
+
     def _reasoning_fn(
         self, suppress: Tuple[int, ...], buffer: int,
         kv_bound: Optional[int] = None,
@@ -610,13 +636,27 @@ class MoondreamModel:
         eos = eos_id if eos_id is not None else self.config.tokenizer.eos_id
         suppress = (self.config.tokenizer.answer_id,)
         buffer = self.config.text.max_context
-        bound = self._decode_bound(pos + max_tokens + 1)
 
-        result = self._generate_fn(eos, suppress, buffer, bound)(
-            self.params["text"], kv, next_token, jnp.int32(pos),
-            self._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
-            jnp.int32(max_tokens), lora=lora, steer=steer,
-        )
+        # speculative greedy decode (settings={"speculative": k} or True
+        # -> k=8): n-gram drafts verified in one k-token forward; output
+        # tokens are identical to the plain greedy loop (engine.
+        # generate_text_spec). Sampling (temperature > 0) uses the plain
+        # loop — speculation here is exact only for argmax decoding.
+        spec = (settings or {}).get("speculative")
+        if spec and temperature == 0:
+            spec_k = 8 if spec is True else max(2, int(spec))
+            bound = self._decode_bound(pos + max_tokens + spec_k + 1)
+            result = self._spec_fn(eos, suppress, buffer, spec_k, bound)(
+                self.params["text"], kv, next_token, jnp.int32(pos),
+                jnp.int32(max_tokens), lora=lora, steer=steer,
+            )
+        else:
+            bound = self._decode_bound(pos + max_tokens + 1)
+            result = self._generate_fn(eos, suppress, buffer, bound)(
+                self.params["text"], kv, next_token, jnp.int32(pos),
+                self._next_rng(), jnp.float32(temperature), jnp.float32(top_p),
+                jnp.int32(max_tokens), lora=lora, steer=steer,
+            )
         count = int(result.count)
         tokens = [int(t) for t in np.asarray(result.tokens[:count])]
         self._recycle_kv(result.kv)
@@ -630,12 +670,21 @@ class MoondreamModel:
         max_tokens, temperature, top_p = self._settings(settings)
         eos = eos_id if eos_id is not None else self.config.tokenizer.eos_id
         answer_id = self.config.tokenizer.answer_id
-        decode = self._decode_fn(self._decode_bound(pos + max_tokens + 1))
         sample = self._sample_fn()
         wte = self.params["text"]["wte"]
         streamer = TokenStreamer(self._decode_tokens)
         max_ctx = self.config.text.max_context
 
+        spec = (settings or {}).get("speculative")
+        if spec and temperature == 0:
+            yield from self._stream_answer_spec(
+                kv, next_token, pos, max_tokens, eos,
+                8 if spec is True else max(2, int(spec)),
+                (answer_id,), lora, steer, streamer,
+            )
+            return
+
+        decode = self._decode_fn(self._decode_bound(pos + max_tokens + 1))
         tok = int(next_token)
         generated = 0
         try:
@@ -653,6 +702,86 @@ class MoondreamModel:
                 )
                 pos += 1
                 generated += 1
+            tail = streamer.finish()
+            if tail:
+                yield tail
+        finally:
+            self._recycle_kv(kv)
+
+    def _verify_fn(
+        self, spec_k: int, suppress: Tuple[int, ...],
+        kv_bound: Optional[int] = None,
+    ):
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(
+                    engine.verify_step, config=cfg, suppress_ids=suppress,
+                    kv_bound=kv_bound,
+                ),
+                donate_argnums=(1,),
+            )
+
+        return self._jit(("verify", spec_k, suppress, kv_bound), build)
+
+    def _stream_answer_spec(
+        self, kv, next_token, pos, max_tokens, eos, spec_k, suppress,
+        lora, steer, streamer,
+    ):
+        """Speculative streaming: the host drafts spec_k-1 tokens by bigram
+        lookup over its generated-id list, one jitted verify forward
+        returns the greedy continuation at every span slot, and acceptance
+        runs host-side — each device round trip advances 1..spec_k tokens.
+        Token-for-token identical to the plain greedy stream."""
+        verify = self._verify_fn(
+            spec_k, suppress, self._decode_bound(pos + max_tokens + spec_k + 1)
+        )
+        limit_pos = self.config.text.max_context - spec_k + 1
+
+        tok = int(next_token)
+        hist: List[int] = []
+        follow: Dict[Tuple[int, int], int] = {}  # bigram -> successor start
+        generated = 0
+        try:
+            while tok != eos and generated < max_tokens and pos < limit_pos:
+                chunk = streamer.feed(tok)
+                if chunk:
+                    yield chunk
+                hist.append(tok)
+                if len(hist) >= 3:
+                    follow[(hist[-3], hist[-2])] = len(hist) - 1
+                start = follow.get((hist[-2], hist[-1])) if len(hist) >= 2 else None
+                if start is not None:
+                    draft = hist[start : start + spec_k - 1]
+                    draft += [tok] * (spec_k - 1 - len(draft))
+                else:
+                    draft = [tok] * (spec_k - 1)
+
+                g_arr, kv = verify(
+                    self.params["text"], kv,
+                    jnp.asarray([tok] + draft, jnp.int32), jnp.int32(pos),
+                    lora=lora, steer=steer,
+                )
+                g = [int(t) for t in np.asarray(g_arr)]
+
+                # accept while the draft matches the greedy chain; stop
+                # extending at EOS so it is carried (and never emitted),
+                # exactly like the fused loop's cut
+                m = 1
+                while m < spec_k and draft[m - 1] == g[m - 1] and g[m - 1] != eos:
+                    m += 1
+                m = min(m, max_tokens - generated)
+                for t in g[: m - 1]:
+                    chunk = streamer.feed(t)
+                    if chunk:
+                        yield chunk
+                    hist.append(t)
+                    if len(hist) >= 3:
+                        follow[(hist[-3], hist[-2])] = len(hist) - 1
+                tok = g[m - 1]
+                pos += m
+                generated += m
             tail = streamer.finish()
             if tail:
                 yield tail
