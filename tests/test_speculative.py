@@ -16,14 +16,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _model(seed=0, **cfg_kw):
+def _model(seed=0, kv_int8=False):
+    import dataclasses
+
     from moondream_tpu.config import tiny_test_config
     from moondream_tpu.models.moondream import MoondreamModel
     from moondream_tpu.tokenizer import ByteTokenizer
 
-    return MoondreamModel(
-        tiny_test_config(**cfg_kw), tokenizer=ByteTokenizer(), seed=seed
-    )
+    cfg = tiny_test_config()
+    if kv_int8:
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, kv_int8=True)
+        )
+    return MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=seed)
 
 
 def _image(seed=0):
@@ -146,6 +151,19 @@ def test_spec_streaming_matches_plain(seed):
         image=enc, question="?", settings={**plain, "speculative": 4}
     )["answer"]
     assert fused == base
+
+
+def test_spec_with_kv_int8():
+    """Spec verify spans (q_len > 1) hit the XLA dequant branch of the
+    int8 KV cache; outputs must still match the plain greedy loop."""
+    model = _model(seed=9, kv_int8=True)
+    enc = model.encode_image(_image(9))
+    plain = {"temperature": 0.0, "top_p": 0.0, "max_tokens": 24}
+    a0 = model.query(image=enc, question="?", settings=plain)["answer"]
+    a1 = model.query(
+        image=enc, question="?", settings={**plain, "speculative": 4}
+    )["answer"]
+    assert a1 == a0
 
 
 def test_spec_ignored_when_sampling():
