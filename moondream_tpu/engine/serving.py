@@ -42,39 +42,43 @@ def _ragged_attn(
     kv_bound: Optional[int],
     quant: Optional[dict] = None,
 ) -> Tuple[jax.Array, KVCache]:
-    """One ragged decode attention layer: per-row positions everywhere."""
-    bsz = x.shape[0]
+    """One ragged decode attention layer: per-row positions everywhere.
+    x may be a SPAN (S, Tq, D) with Tq > 1 (speculative verify): row s's
+    query i sits at position pos[s] + i, cache writes land as per-row
+    Tq-token spans, and the ragged span kernel masks col <= pos[s] + i."""
+    bsz, q_len = x.shape[0], x.shape[1]
     if quant is not None:
         qkv = text_ops._q_lin(x, quant["qkv"], w["qkv"]["b"], layer)
     else:
         qkv = linear(x, w["qkv"])
     q, k, v = text_ops._split_qkv(qkv, config)
 
-    position_ids = pos[:, None]  # (S, 1)
+    # (S, Tq) per-row positions
+    position_ids = pos[:, None] + jnp.arange(q_len, dtype=jnp.int32)[None, :]
     q = apply_rotary_emb(q, freqs_cis, position_ids, config.rope_dim)
     k = apply_rotary_emb(k, freqs_cis, position_ids, config.rope_dim)
 
-    # per-row cache writes (unrolled over the slot pool; S is small).
-    # pf > 1: head-paired cache layout (text.pair_kv) — for a single token
-    # the pairing is a pure reshape (adjacent heads merge on the lane axis).
+    # per-row cache writes (unrolled over the slot pool; S is small),
+    # head-paired via pair_kv (a pure reshape when Tq == 1).
     pf = kv.k.shape[-1] // config.head_dim
     hp = config.n_kv_heads // pf
     dd = pf * config.head_dim
     int8 = kv.ks is not None
+    kp = text_ops.pair_kv(k, pf)  # (S, hp, Tq, dd)
+    vp = text_ops.pair_kv(v, pf)
     k_cache, v_cache, ks_cache, vs_cache = kv.k, kv.v, kv.ks, kv.vs
     for s in range(bsz):
-        k_row = k[s : s + 1].reshape(1, 1, hp, 1, dd)
-        v_row = v[s : s + 1].reshape(1, 1, hp, 1, dd)
+        k_row = kp[s : s + 1][None]  # (1, 1, hp, Tq, dd)
+        v_row = vp[s : s + 1][None]
         if int8:
             k_row, ks_row = text_ops.quantize_kv(k_row)
             v_row, vs_row = text_ops.quantize_kv(v_row)
-            # scales store T on the last axis; a single token's scale is
-            # (1, 1, hp, 1, 1) either way — only the write offset moves
+            # scales store T on the last axis: (1, 1, hp, 1, Tq)
             ks_cache = jax.lax.dynamic_update_slice(
-                ks_cache, ks_row, (layer, s, 0, 0, pos[s])
+                ks_cache, jnp.swapaxes(ks_row, -1, -2), (layer, s, 0, 0, pos[s])
             )
             vs_cache = jax.lax.dynamic_update_slice(
-                vs_cache, vs_row, (layer, s, 0, 0, pos[s])
+                vs_cache, jnp.swapaxes(vs_row, -1, -2), (layer, s, 0, 0, pos[s])
             )
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k_row.astype(k_cache.dtype), (layer, s, 0, pos[s], 0)
@@ -115,11 +119,12 @@ def _ragged_attn(
         from ..ops.layers import sdpa
 
         tk = k_l.shape[2]
-        cols = jnp.arange(tk, dtype=jnp.int32)[None, :]
-        mask = (cols <= pos[:, None])[:, None, None, :]  # (S,1,1,Tk)
+        cols = jnp.arange(tk, dtype=jnp.int32)[None, None, :]  # (1,1,Tk)
+        qpos = position_ids[:, :, None]  # (S, Tq, 1)
+        mask = (cols <= qpos)[:, None, :, :]  # (S,1,Tq,Tk)
         out = sdpa(q, k_l, v_l, mask)
 
-    out = out.transpose(0, 2, 1, 3).reshape(bsz, 1, config.dim)
+    out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
     if quant is not None:
         out = text_ops._q_lin(out, quant["proj"], w["proj"]["b"], layer)
     else:
@@ -234,6 +239,185 @@ def serve_chunk(
     return ServeChunkResult(
         tokens=toks, emitted=emit, active=active, pos=pos, cur=cur,
         budget=budget, kv=kv, rng=rng,
+    )
+
+
+def ragged_verify_step(
+    text_params: dict,
+    kv: KVCache,
+    q_toks: jax.Array,  # (S, k)
+    pos: jax.Array,  # (S,)
+    config: TextConfig,
+    kv_bound: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """One speculative verify forward for the whole slot pool: every row
+    feeds a k-token span at its own position. Returns ((S, k) greedy
+    continuation ids as fp32 logits argmax inputs — here full (S, k, V)
+    logits, new cache)."""
+    x = text_params["wte"][q_toks]  # (S, k, D)
+    blocks_q = text_params.get("blocks_q")
+
+    def block(carry, layer_in):
+        h, kv_ = carry
+        bw, lidx = layer_in
+        ln_in = layer_norm(h, bw["ln"])
+        attn_out, kv_ = _ragged_attn(
+            ln_in, bw["attn"], text_params["freqs_cis"], kv_,
+            lidx, pos, config, kv_bound,
+            quant=blocks_q["attn"] if blocks_q else None,
+        )
+        if blocks_q is not None:
+            from ..ops.layers import gelu_approx
+
+            m = text_ops._q_lin(
+                ln_in, blocks_q["mlp"]["fc1"], bw["mlp"]["fc1"]["b"], lidx
+            )
+            mlp_out = text_ops._q_lin(
+                gelu_approx(m), blocks_q["mlp"]["fc2"], bw["mlp"]["fc2"]["b"],
+                lidx,
+            )
+        else:
+            mlp_out = mlp(ln_in, bw["mlp"])
+        return (h + attn_out + mlp_out, kv_), None
+
+    xs = (
+        text_params["blocks"],
+        jnp.arange(config.n_layers, dtype=jnp.int32),
+    )
+    (hidden, kv_new), _ = jax.lax.scan(block, (x, kv), xs)
+    S, k, D = hidden.shape
+    logits = lm_logits_batched(hidden.reshape(S * k, D), text_params)
+    return logits.reshape(S, k, -1), kv_new
+
+
+class ServeChunkSpecResult(NamedTuple):
+    tokens: jax.Array  # (S, n_iter * k) int32
+    emitted: jax.Array  # (S, n_iter * k) bool
+    active: jax.Array  # (S,) bool
+    pos: jax.Array  # (S,) int32
+    cur: jax.Array  # (S,) int32
+    budget: jax.Array  # (S,) int32
+    kv: KVCache
+    hist: jax.Array  # (S, H) int32 — per-slot emitted-token history
+    hist_cnt: jax.Array  # (S,) int32
+
+
+def serve_chunk_spec(
+    text_params: dict,
+    kv: KVCache,
+    cur_tokens: jax.Array,  # (S,)
+    pos: jax.Array,  # (S,)
+    active: jax.Array,  # (S,) bool
+    budget: jax.Array,  # (S,) int32
+    hist: jax.Array,  # (S, H) int32 emitted history per slot
+    hist_cnt: jax.Array,  # (S,) int32
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    n_iter: int,
+    spec_k: int,
+    kv_bound: Optional[int] = None,
+) -> ServeChunkSpecResult:
+    """SPECULATIVE serving chunk (greedy): `n_iter` verify iterations, each
+    advancing every active slot by 1..spec_k tokens for one weight pass —
+    per-slot n-gram drafts from device-resident histories, one ragged
+    span forward, per-row acceptance. Token-identical to `serve_chunk` at
+    temperature 0 (verification accepts a draft token only when it equals
+    the greedy continuation). The engine must admit requests with
+    budget <= slot_len - pos - spec_k so every row's verify span fits its
+    slot (ContinuousBatchingEngine enforces this when speculative is on).
+    """
+    S = cur_tokens.shape[0]
+    W = n_iter * spec_k
+    H = hist.shape[1]
+    toks0 = jnp.zeros((S, W), jnp.int32)
+    emit0 = jnp.zeros((S, W), jnp.bool_)
+    col0 = jnp.zeros((S,), jnp.int32)
+    rows = jnp.arange(S, dtype=jnp.int32)
+    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]  # (1, H)
+    max_pos = kv_bound or config.max_context
+
+    def body(_, c):
+        kv_, cur, pos_, act, bud, h_, cnt, col, toks, emit = c
+
+        # emit cur (the token about to be fed) and append to history
+        toks = toks.at[rows, jnp.where(act, col, W)].set(cur, mode="drop")
+        emit = emit.at[rows, jnp.where(act, col, W)].set(True, mode="drop")
+        h_ = h_.at[rows, jnp.where(act, jnp.minimum(cnt, H - 1), H)].set(
+            cur, mode="drop"
+        )
+        cnt1 = cnt + act.astype(jnp.int32)
+
+        # ---- per-row n-gram draft: latest bigram (prev, cur) in history
+        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
+        succ = jnp.roll(h_, -1, axis=1)
+        match = (
+            (t_idx <= (cnt1 - 3)[:, None])
+            & (h_ == prev[:, None])
+            & (succ == cur[:, None])
+        )
+        any_match = jnp.any(match, axis=1)
+        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
+        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
+        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
+        draft = jnp.take_along_axis(h_, gather, axis=1)  # (S, k-1)
+        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+
+        # ---- one ragged span verify forward for the whole pool
+        q_toks = jnp.concatenate([cur[:, None], draft], axis=1)  # (S, k)
+        logits, kv_ = ragged_verify_step(
+            text_params, kv_, q_toks, pos_, config, kv_bound
+        )
+        for sid in suppress_ids:
+            logits = logits.at[:, :, sid].set(NEG_INF)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (S, k)
+
+        # ---- per-row acceptance (identical rule to generate_text_spec)
+        ok = (draft == g[:, :-1]).astype(jnp.int32)
+        m = 1 + jnp.sum(jnp.cumprod(ok, axis=1), axis=1)
+        is_eos = g == eos_id
+        eos_pos = jnp.argmax(is_eos, axis=1)
+        m = jnp.where(
+            jnp.any(is_eos, axis=1) & (eos_pos + 1 < m), eos_pos + 1, m
+        )
+        m = jnp.minimum(m, bud)
+        m = jnp.where(act, m, 0)
+
+        # interior accepted tokens g[:, :m-1] -> buffers + history
+        for j in range(spec_k - 1):
+            valid = act & (j + 1 < m)
+            toks = toks.at[rows, jnp.where(valid, col + 1 + j, W)].set(
+                g[:, j], mode="drop"
+            )
+            emit = emit.at[rows, jnp.where(valid, col + 1 + j, W)].set(
+                True, mode="drop"
+            )
+            h_ = h_.at[
+                rows, jnp.where(valid, jnp.minimum(cnt1 + j, H - 1), H)
+            ].set(g[:, j], mode="drop")
+
+        nxt = g[rows, jnp.maximum(m - 1, 0)]
+        cur = jnp.where(act, nxt, cur)
+        pos_ = pos_ + m
+        bud = bud - m
+        cnt2 = cnt1 + jnp.maximum(m - 1, 0) * act.astype(jnp.int32)
+        col = col + m
+        act = (
+            act & (cur != eos_id) & (bud > 0)
+            & (pos_ + spec_k <= max_pos)
+        )
+        return (kv_, cur, pos_, act, bud, h_, cnt2, col, toks, emit)
+
+    (kv, cur, pos, active, budget, hist, hist_cnt, _, toks, emit) = (
+        jax.lax.fori_loop(
+            0, n_iter, body,
+            (kv, cur_tokens, pos, active, budget, hist, hist_cnt, col0,
+             toks0, emit0),
+        )
+    )
+    return ServeChunkSpecResult(
+        tokens=toks, emitted=emit, active=active, pos=pos, cur=cur,
+        budget=budget, kv=kv, hist=hist, hist_cnt=hist_cnt,
     )
 
 

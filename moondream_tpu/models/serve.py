@@ -53,6 +53,7 @@ class ContinuousBatchingEngine:
         temperature: float = 0.0,
         top_p: float = 0.0,
         pipeline_depth: int = 1,
+        speculative: int = 0,
     ):
         """`pipeline_depth` > 1 overlaps each chunk's host round trip
         (token fetch + callbacks) with the NEXT chunk's device compute:
@@ -60,7 +61,14 @@ class ContinuousBatchingEngine:
         the device never idles on the host. Costs one chunk of latency on
         step() results/streaming and up to depth-1 wasted no-op chunks at
         a request's tail; throughput-oriented callers (HTTP server,
-        bench) use 2."""
+        bench) use 2.
+
+        `speculative=k` (greedy pools only): each chunk iteration drafts
+        k-1 tokens per slot from its own device-resident history, verifies
+        them in one ragged span forward, and advances each slot by 1..k
+        tokens — token-identical to the plain chunks, 1..k tokens per
+        weight pass (engine/serving.py:serve_chunk_spec). Budgets are
+        clamped k tokens earlier so verify spans always fit the slot."""
         self.model = model
         self.config = model.config.text
         self.n_slots = n_slots
@@ -69,6 +77,12 @@ class ContinuousBatchingEngine:
         self.temperature = temperature
         self.top_p = top_p
         self.pipeline_depth = max(1, int(pipeline_depth))
+        self.spec_k = max(0, int(speculative))
+        if self.spec_k and temperature != 0.0:
+            raise ValueError(
+                "speculative serving is exact only for greedy decoding; "
+                "use temperature=0"
+            )
         self._inflight: List[Any] = []
 
         self.kv = KVCache.create(
@@ -80,6 +94,10 @@ class ContinuousBatchingEngine:
         self.active = jnp.zeros((S,), jnp.bool_)
         self.budget = jnp.zeros((S,), jnp.int32)
         self.rng = jax.random.PRNGKey(0)
+
+        if self.spec_k:
+            self.hist = jnp.zeros((S, self.slot_len), jnp.int32)
+            self.hist_cnt = jnp.zeros((S,), jnp.int32)
 
         self.slots = [_Slot() for _ in range(S)]
         self.results: Dict[int, str] = {}
@@ -101,6 +119,25 @@ class ContinuousBatchingEngine:
                     kv_bound=self.slot_len,
                 ),
                 donate_argnums=(1,),
+            )
+            self._jits[key] = fn
+        return fn
+
+    def _spec_chunk_fn(self):
+        key = ("spec_chunk", self.chunk, self.spec_k)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(
+                    serving.serve_chunk_spec,
+                    config=self.config,
+                    eos_id=self.model.config.tokenizer.eos_id,
+                    suppress_ids=(self.model.config.tokenizer.answer_id,),
+                    n_iter=self.chunk,
+                    spec_k=self.spec_k,
+                    kv_bound=self.slot_len,
+                ),
+                donate_argnums=(1, 6),
             )
             self._jits[key] = fn
         return fn
@@ -161,14 +198,19 @@ class ContinuousBatchingEngine:
         tokens: pos + tokens must fit slot_len); clamps the budget so ragged
         decode never writes past the slot edge."""
         model = self.model
-        if pos + 1 > self.slot_len:
+        # spec verify spans write spec_k rows at a time; budgets are
+        # clamped so pos + budget + spec_k never passes the slot edge
+        margin = self.spec_k if self.spec_k else 0
+        if pos + 1 + margin > self.slot_len:
             model._recycle_kv(kv1)
             raise ValueError(
                 f"prompt occupies {pos} KV positions but slot_len is "
-                f"{self.slot_len}; no room to generate. Size slot_len >= "
-                f"prompt length (image is ~730 tokens) + expected output."
+                f"{self.slot_len}; no room to generate"
+                + (f" (speculative margin {margin})" if margin else "")
+                + ". Size slot_len >= prompt length (image is ~730 tokens)"
+                " + expected output."
             )
-        budget = min(max_tokens, self.slot_len - pos)
+        budget = min(max_tokens, self.slot_len - pos - margin)
         span = model._kv_bound(pos) or self.config.max_context
         span = min(span, self.slot_len)
         from .text import slice_cache_span
@@ -192,6 +234,8 @@ class ContinuousBatchingEngine:
         self.pos = self.pos.at[slot].set(pos)
         self.active = self.active.at[slot].set(True)
         self.budget = self.budget.at[slot].set(budget)
+        if self.spec_k:
+            self.hist_cnt = self.hist_cnt.at[slot].set(0)
         return req_id
 
     def submit_many(
@@ -249,12 +293,20 @@ class ContinuousBatchingEngine:
     def _dispatch_chunk(self):
         """Enqueue one fused ragged-decode chunk on the current device
         state (async dispatch — no host sync) and start the token fetch."""
-        res = self._chunk_fn()(
-            self.model.params["text"], self.kv, self.cur, self.pos,
-            self.active, self.budget, self.rng,
-            jnp.float32(self.temperature), jnp.float32(self.top_p),
-        )
-        self.kv, self.rng = res.kv, res.rng
+        if self.spec_k:
+            res = self._spec_chunk_fn()(
+                self.model.params["text"], self.kv, self.cur, self.pos,
+                self.active, self.budget, self.hist, self.hist_cnt,
+            )
+            self.hist, self.hist_cnt = res.hist, res.hist_cnt
+        else:
+            res = self._chunk_fn()(
+                self.model.params["text"], self.kv, self.cur, self.pos,
+                self.active, self.budget, self.rng,
+                jnp.float32(self.temperature), jnp.float32(self.top_p),
+            )
+            self.rng = res.rng
+        self.kv = res.kv
         self.cur, self.pos = res.cur, res.pos
         self.active, self.budget = res.active, res.budget
         try:  # start the D2H copy now so the later device_get doesn't wait

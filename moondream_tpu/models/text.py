@@ -312,7 +312,17 @@ def attn_with_cache(
 
     # int8 decode kernel exists only for the head-paired layout (pf > 1);
     # GQA/sharded configs (pf == 1) dequantize through the XLA branch.
-    if (q_len == 1 and _use_pallas() and not config.xla_attn
+    # Small spans (speculative verify forwards, short prompt prefills) use
+    # the same stacked-cache kernels with a query-span block — the XLA
+    # branch below materializes a full cache-layer copy per layer, which
+    # costs as much HBM traffic as the attention itself.
+    ragged_pos = getattr(pos, "ndim", 0) == 1
+    kernel_ok = q_len == 1 or (
+        q_len <= 16
+        and not ragged_pos
+        and config.n_kv_heads == config.n_heads
+    )
+    if (kernel_ok and _use_pallas() and not config.xla_attn
             and not (int8 and pf == 1)):
         out = decode_attention_cached(
             q, kv.k, kv.v, layer, pos, prefix_len, kv_bound,

@@ -485,16 +485,17 @@ def decode_attention_cached(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Single-token decode attention reading ONE layer of the full stacked
-    KV cache (L, B, Hkv, T, D) — the layer is selected by the block index
-    map from a scalar-prefetch operand, so the cache is passed whole and
-    never sliced at the XLA level. This matters inside the per-layer scan:
-    a host-side `kv[l]` slice feeding an opaque pallas call materializes a
-    full-cache-layer copy every layer of every decode step (gigabytes per
-    token at batch 8); the in-kernel index map reads only the blocks it
-    DMAs.
+    """Single-token (or small-span, Tq <= ~16) decode attention reading ONE
+    layer of the full stacked KV cache (L, B, Hkv, T, D) — the layer is
+    selected by the block index map from a scalar-prefetch operand, so the
+    cache is passed whole and never sliced at the XLA level. This matters
+    inside the per-layer scan: a host-side `kv[l]` slice feeding an opaque
+    pallas call materializes a full-cache-layer copy every layer of every
+    decode step (gigabytes per token at batch 8); the in-kernel index map
+    reads only the blocks it DMAs. Small spans serve speculative verify
+    forwards and short prompt prefills; query row i sits at position pos+i.
 
-    q: (B, Hq, 1, D). Returns (B, Hq, 1, D).
+    q: (B, Hq, Tq, D). Returns (B, Hq, Tq, D).
 
     When the cache lane width exceeds D (head-paired layout from
     models.text.pair_kv), dispatches to the paired kernel.
@@ -507,8 +508,9 @@ def decode_attention_cached(
             k_scale, v_scale,
         )
     assert k_scale is None, "int8 KV requires the head-paired layout"
-    assert tq == 1 and hq % hkv == 0
+    assert hq % hkv == 0
     rep = hq // hkv
+    assert tq == 1 or rep == 1, "query spans require MHA"
     scale = 1.0 / (d**0.5)
     tk = t_max if kv_bound is None else min(kv_bound, t_max)
     tk = _ceil_to(tk, 128) if tk % 128 else tk
@@ -516,7 +518,8 @@ def decode_attention_cached(
 
     if rep == 1:
         vmem_budget = 12 * 1024 * 1024
-        ht = max(1, vmem_budget // (2 * 2 * tk * max(d, 128) * 2))
+        per_row = 2 * 2 * tk * max(d, 128) * 2 + tq * tk * 4
+        ht = max(1, vmem_budget // per_row)
         ht = min(hq, 1 << (ht.bit_length() - 1))
     else:
         ht = rep
@@ -536,7 +539,7 @@ def decode_attention_cached(
     else:
         scalars = jnp.asarray([pos, prefix, layer], jnp.int32)
         layer_slot = 2
-    qf = q.reshape(b * hq, 1, d)
+    qf = q.reshape(b * hq, tq, d)
     n_tiles = (b * hq) // ht
 
     def kv_index(i, s):
@@ -549,13 +552,13 @@ def decode_attention_cached(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (ht, 1, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+                (ht, tq, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (ht, 1, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (ht, tq, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
@@ -568,20 +571,20 @@ def decode_attention_cached(
         kernel = functools.partial(_decode_kernel_stacked_gqa, rep=rep)
     out = pl.pallas_call(
         functools.partial(kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * hq, 1, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * hq, tq, d), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * hq * tk * d,
-            bytes_accessed=b * (hq + 2 * hkv) * tk * d * 2,
-            transcendentals=b * hq * tk,
+            flops=2 * 2 * b * hq * tk * d * tq,
+            bytes_accessed=b * (hq * tq + 2 * hkv) * tk * d * 2,
+            transcendentals=b * hq * tq * tk,
         ),
     )(scalars, qf, k_cache, v_cache)
-    return out.reshape(b, hq, 1, d)
+    return out.reshape(b, hq, tq, d)
 
 
 def _decode_kernel_paired(
-    scalars_ref, q2_ref, k_ref, v_ref, *rest, scale, ragged, ht, hp
+    scalars_ref, q2_ref, k_ref, v_ref, *rest, scale, ragged, ht, hp, tq=1
 ):
     """Head-paired decode attention: `pf` adjacent MHA heads share one cache
     row on the lane axis (lane block j of width dh belongs to head pf*i+j),
@@ -589,13 +592,16 @@ def _decode_kernel_paired(
     a (T, 64) head slab half-fills them, halving effective HBM->VMEM
     bandwidth (measured 258 -> 434 GB/s on the B=8 x 32-head x 1024-slot
     decode step). q2 is the block-diagonal expansion built by the wrapper:
-    q2[p, j, j*dh:(j+1)*dh] = q_head(pf*p+j), zeros elsewhere, which makes
-    one batched MXU dot compute every head's scores against its own lanes.
+    q2[p, j*tq+i, j*dh:(j+1)*dh] = q_head(pf*p+j, query i), zeros elsewhere,
+    which makes one batched MXU dot compute every head's scores against its
+    own lanes.
 
-    Scores land as (PT, pf, T): heads on sublanes, tokens on lanes — the
-    dense layout for the softmax VPU passes. The PV dot returns
-    (PT, pf, pf*dh) where row j's lane block j holds head pf*p+j's output;
-    the wrapper's o layout (PT, pf, dh) is exactly flattened head order.
+    Scores land as (PT, pf*tq, T): (head, query-offset) rows on sublanes,
+    tokens on lanes — the dense layout for the softmax VPU passes. `tq`
+    (static) supports small query SPANS (speculative verify, short prompt
+    prefills) reading the stacked cache directly — row j*tq+i sits at
+    absolute position pos+i. The PV dot returns (PT, pf*tq, pf*dh) where
+    row j*tq+i's lane block j holds head pf*p+j's output at query i.
     """
     if len(rest) == 3:
         ks_ref, vs_ref, o_ref = rest
@@ -611,8 +617,8 @@ def _decode_kernel_paired(
         pos = scalars_ref[0]
         prefix = scalars_ref[1]
 
-    q2 = q2_ref[...]  # (HT, pf, pf*dh)
-    pf = q2.shape[1]
+    q2 = q2_ref[...]  # (HT, pf*tq, pf*dh)
+    pf = q2.shape[1] // tq
     dh = q2.shape[2] // pf
     if ks_ref is None:
         k = k_ref[0, 0]   # (HT, T, pf*dh)
@@ -621,20 +627,25 @@ def _decode_kernel_paired(
         # int8 cache: attention is linear in each token row's scale, so the
         # k-scale folds into the score plane and the v-scale into the
         # softmax weights — both (HT, 1, T) lane-aligned broadcasts over
-        # the (HT, pf, T) scores. The (T, 128) code blocks only pay one
+        # the (HT, pf*tq, T) scores. The (T, 128) code blocks only pay one
         # int8->bf16 cast; nothing full-plane runs in fp32.
         k = k_ref[0, 0].astype(q2.dtype)
         v = v_ref[0, 0].astype(q2.dtype)
 
     s = jax.lax.dot_general(
         q2, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (HT, pf, T)
+    )  # (HT, pf*tq, T)
     if ks_ref is None:
         s = s * scale
     else:
-        s = s * (ks_ref[0, 0] * scale)  # (HT, 1, T) broadcast over pf
+        s = s * (ks_ref[0, 0] * scale)  # (HT, 1, T) broadcast over rows
     cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    if tq == 1:
+        qpos = pos
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        qpos = pos + jax.lax.rem(rows, tq)  # row j*tq+i -> position pos+i
+    mask = (cols <= qpos) | ((qpos < prefix) & (cols < prefix))
     s = jnp.where(mask, s, jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -644,29 +655,30 @@ def _decode_kernel_paired(
     p = p.astype(v.dtype)
     o2 = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (HT, pf, pf*dh) — row j's lane block j holds head pf*i+j's output
+    )  # (HT, pf*tq, pf*dh) — row j*tq+i lane block j = head pf*p+j, query i
     o2 = o2 / denom
-    # fold the pf rows into ONE paired-layout row: select row j's lane
-    # block j (a lane-offset slice+concat is unsupported in Mosaic; masked
-    # adds relayout cleanly). The wrapper unpairs outside the kernel — for
-    # Tq=1 that is a free reshape.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (o2.shape[0], 1, pf * dh), 2)
-    o = jnp.zeros((o2.shape[0], 1, pf * dh), jnp.float32)
+    # fold the pf head-rows of each query into ONE paired-layout row:
+    # select row (j, i)'s lane block j (a lane-offset slice+concat is
+    # unsupported in Mosaic; masked adds relayout cleanly). The wrapper
+    # unpairs outside the kernel — for Tq=1 that is a free reshape.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (o2.shape[0], tq, pf * dh), 2)
+    o = jnp.zeros((o2.shape[0], tq, pf * dh), jnp.float32)
     for j in range(pf):
-        o = o + jnp.where(lane // dh == j, o2[:, j : j + 1, :], 0.0)
+        o = o + jnp.where(lane // dh == j, o2[:, j * tq : (j + 1) * tq, :], 0.0)
     o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _paired_q2(q: jax.Array, pf: int) -> jax.Array:
-    """(B, Hq, 1, dh) -> block-diagonal (B*Hq/pf, pf, pf*dh)."""
-    b, hq, _, d = q.shape
-    qf = q.reshape(b * (hq // pf), pf, d)
-    zero = jnp.zeros_like(qf[:, :1, :])
+    """(B, Hq, Tq, dh) -> block-diagonal (B*Hq/pf, pf*Tq, pf*dh): row
+    j*Tq+i of pair-row p holds head pf*p+j's query i in lane block j."""
+    b, hq, tq, d = q.shape
+    qf = q.reshape(b * (hq // pf), pf, tq, d)
+    zero = jnp.zeros_like(qf[:, 0])
     rows = []
     for j in range(pf):
         blocks = [zero] * pf
-        blocks[j] = qf[:, j : j + 1, :]
-        rows.append(jnp.concatenate(blocks, axis=-1))
+        blocks[j] = qf[:, j]
+        rows.append(jnp.concatenate(blocks, axis=-1))  # (B*hp, Tq, pf*dh)
     return jnp.concatenate(rows, axis=1)
 
 
@@ -682,7 +694,7 @@ def _decode_attention_paired(
     b, hq, tq, d = q.shape
     L, _, hp_c, t_max, dd = k_cache.shape
     pf = dd // d
-    assert tq == 1 and hq == hp_c * pf, "paired layout requires MHA"
+    assert hq == hp_c * pf, "paired layout requires MHA"
     scale = 1.0 / (d**0.5)
     tk = t_max if kv_bound is None else min(kv_bound, t_max)
     tk = _ceil_to(tk, 128) if tk % 128 else tk
@@ -691,9 +703,11 @@ def _decode_attention_paired(
 
     hp = b * hp_c  # flattened pair rows
     vmem_budget = 12 * 1024 * 1024
-    # int8 blocks: 1B codes + a transient bf16 cast copy -> ~3B/elem
+    # int8 blocks: 1B codes + a transient bf16 cast copy -> ~3B/elem;
+    # spans (tq > 1) add a (pf*tq, tk) fp32 score plane per pair row
     elt = 3 if int8 else 2
-    ht = max(1, vmem_budget // (2 * 2 * tk * max(dd, 128) * elt))
+    per_row = 2 * 2 * tk * max(dd, 128) * elt + pf * tq * tk * 4
+    ht = max(1, vmem_budget // per_row)
     ht = min(hp_c, 1 << (ht.bit_length() - 1))
     while hp_c % ht:
         ht //= 2
@@ -711,7 +725,7 @@ def _decode_attention_paired(
         scalars = jnp.asarray([pos, prefix, layer], jnp.int32)
         layer_slot = 2
 
-    q2 = _paired_q2(q, pf)  # (b*hp_c, pf, pf*d)
+    q2 = _paired_q2(q, pf)  # (b*hp_c, pf*tq, pf*d)
     n_tiles = hp // ht
 
     def kv_index(i, s):
@@ -721,7 +735,7 @@ def _decode_attention_paired(
 
     in_specs = [
         pl.BlockSpec(
-            (ht, pf, dd), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (ht, pf * tq, dd), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((1, 1, ht, tk, dd), kv_index, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, ht, tk, dd), kv_index, memory_space=pltpu.VMEM),
@@ -738,43 +752,55 @@ def _decode_attention_paired(
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (ht, 1, dd), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (ht, tq, dd), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
         functools.partial(
-            _decode_kernel_paired, scale=scale, ragged=ragged, ht=ht, hp=hp_c
+            _decode_kernel_paired, scale=scale, ragged=ragged, ht=ht,
+            hp=hp_c, tq=tq,
         ),
-        out_shape=jax.ShapeDtypeStruct((hp, 1, dd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((hp, tq, dd), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * hq * tk * d,
+            flops=2 * 2 * b * hq * tk * d * tq,
             bytes_accessed=2 * hp * tk * dd * (1 if int8 else 2)
-            + b * hq * d * 2,
-            transcendentals=b * hq * tk,
+            + b * hq * tq * d * 2,
+            transcendentals=b * hq * tq * tk,
         ),
     )(scalars, *operands)
-    # unpair: (b*hp_c, 1, pf*d) rows hold pf heads side by side on lanes;
+    # unpair: (b*hp_c, tq, pf*d) rows hold pf heads side by side on lanes;
     # with Tq=1 the unpair is a pure reshape (size-1 axis swap is free)
-    return out.reshape(b, hp_c, pf, 1, d).reshape(b, hq, 1, d)
+    return (
+        out.reshape(b, hp_c, tq, pf, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, hq, tq, d)
+    )
 
 
 def _decode_kernel_stacked(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Single-token or small-SPAN decode attention over one stacked-cache
+    layer (plain, non-paired layout). Query row i of the (HT, Tq, D) block
+    sits at absolute position pos+i."""
     pos = scalars_ref[0]
     prefix = scalars_ref[1]
 
-    q = q_ref[...]  # (HT, 1, D)
+    q = q_ref[...]  # (HT, Tq, D)
     k = k_ref[0, 0]  # (HT, T, D)
     v = v_ref[0, 0]
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (HT, 1, T)
+    )  # (HT, Tq, T)
     s = s * scale
     cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    if q_ref.shape[1] == 1:
+        qpos = pos
+    else:
+        qpos = pos + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = (cols <= qpos) | ((qpos < prefix) & (cols < prefix))
     s = jnp.where(mask, s, jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -790,13 +816,14 @@ def _decode_kernel_stacked_ragged(
 ):
     """Per-row-position variant for continuous batching: scalars =
     [prefix, layer, pos_0, ..., pos_{B-1}]; this program's batch row is
-    derived from the program index."""
+    derived from the program index. Query row i of a (HT, Tq, D) span
+    block sits at position pos_b + i (speculative serving verify)."""
     prefix = scalars_ref[0]
     i = pl.program_id(0)
     bi = (i * ht) // hq
     pos = scalars_ref[2 + bi]
 
-    q = q_ref[...]  # (HT, 1, D)
+    q = q_ref[...]  # (HT, Tq, D)
     k = k_ref[0, 0]  # (HT, T, D)
     v = v_ref[0, 0]
 
@@ -806,7 +833,11 @@ def _decode_kernel_stacked_ragged(
     )
     s = s * scale
     cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    mask = (cols <= pos) | ((pos < prefix) & (cols < prefix))
+    if q_ref.shape[1] == 1:
+        qpos = pos
+    else:
+        qpos = pos + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = (cols <= qpos) | ((qpos < prefix) & (cols < prefix))
     s = jnp.where(mask, s, jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)

@@ -298,3 +298,83 @@ def test_decode_cached_paired_kv_bound():
     )
     ref = _xla(q[:, :, :, :], k[0][:, :, :256], v[0][:, :, :256], 200, 0)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+# --------------------------------- small query SPANS over the stacked cache
+def test_decode_cached_paired_span():
+    """Tq > 1 (speculative verify / short prompt prefill) through the
+    paired kernel: query row i sits at position pos+i."""
+    from moondream_tpu.ops.attention import decode_attention_cached
+
+    rng = np.random.default_rng(10)
+    L, b, h, tk, d, tq = 2, 2, 8, 256, 64, 8
+    q = (rng.standard_normal((b, h, tq, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    kp = np.stack([_pair(k[l]) for l in range(L)])
+    vp = np.stack([_pair(v[l]) for l in range(L)])
+    for layer in (0, 1):
+        for pos, prefix in ((0, 0), (100, 0), (4, 100), (248, 0)):
+            got = np.asarray(
+                decode_attention_cached(
+                    jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                    layer, pos, prefix, interpret=True,
+                )
+            )
+            ref = _xla(q, k[layer], v[layer], pos, prefix)
+            np.testing.assert_allclose(
+                got, ref, atol=2e-5, rtol=1e-4,
+                err_msg=f"layer={layer} pos={pos} prefix={prefix}",
+            )
+
+
+def test_decode_cached_plain_span():
+    """Tq > 1 through the plain (non-paired) stacked kernel — odd head
+    count keeps pair_factor at 1."""
+    from moondream_tpu.ops.attention import decode_attention_cached
+
+    rng = np.random.default_rng(11)
+    L, b, h, tk, d, tq = 2, 1, 3, 256, 64, 4
+    q = (rng.standard_normal((b, h, tq, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    for pos in (0, 97, 252):
+        got = np.asarray(
+            decode_attention_cached(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                1, pos, 0, interpret=True,
+            )
+        )
+        ref = _xla(q, k[1], v[1], pos, 0)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_cached_paired_span_masks_future_garbage():
+    """Span rows must not attend slots past their own position — garbage
+    just beyond each query row's reach must not leak into any row."""
+    from moondream_tpu.ops.attention import decode_attention_cached
+
+    rng = np.random.default_rng(12)
+    L, b, h, tk, d, tq = 1, 1, 4, 128, 64, 4
+    pos = 60
+    q = (rng.standard_normal((b, h, tq, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((L, b, h, tk, d)) * 0.3).astype(np.float32)
+    k_dirty = k.copy()
+    v_dirty = v.copy()
+    k_dirty[:, :, :, pos + tq :] = 1e4
+    v_dirty[:, :, :, pos + tq :] = -1e4
+
+    def run(kk, vv):
+        kp = np.stack([_pair(kk[l]) for l in range(L)])
+        vp = np.stack([_pair(vv[l]) for l in range(L)])
+        return np.asarray(
+            decode_attention_cached(
+                jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                0, pos, 0, interpret=True,
+            )
+        )
+
+    np.testing.assert_allclose(run(k_dirty, v_dirty), run(k, v), atol=1e-6)
+    np.testing.assert_allclose(run(k, v), _xla(q, k[0], v[0], pos, 0),
+                               atol=2e-5, rtol=1e-4)

@@ -321,3 +321,38 @@ def test_sharded_engine_int8_decodes():
         max_tokens=8, eos_id=-1, buffer=64,
     )
     assert int(res.counts[0]) == 8
+
+
+def test_paired_kernel_int8_span():
+    """Small query spans (speculative verify) with int8 blocks: the
+    (HT, 1, T) scale rows broadcast over all pf*tq score rows."""
+    rng = np.random.default_rng(4)
+    L, B, hp, pf, dh, T, tq = 2, 1, 2, 2, 32, 256, 4
+    dd = pf * dh
+    hq = hp * pf
+
+    q = jnp.asarray(
+        rng.normal(size=(B, hq, tq, dh)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(L, B, hp, T, dd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, hp, T, dd)).astype(np.float32))
+    kc, ks = quantize_kv(k)
+    vc, vs = quantize_kv(v)
+
+    out_q = decode_attention_cached(
+        q, kc, vc, jnp.int32(1), jnp.int32(180), jnp.int32(0), kv_bound=T,
+        interpret=True,
+        k_scale=jnp.swapaxes(ks, -1, -2), v_scale=jnp.swapaxes(vs, -1, -2),
+    )
+    out_ref = decode_attention_cached(
+        q,
+        dequantize_kv(kc, ks, jnp.bfloat16),
+        dequantize_kv(vc, vs, jnp.bfloat16),
+        jnp.int32(1), jnp.int32(180), jnp.int32(0), kv_bound=T,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_q, np.float32),
+        np.asarray(out_ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )

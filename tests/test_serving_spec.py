@@ -1,0 +1,111 @@
+"""Speculative continuous batching: serve_chunk_spec must emit exactly the
+same tokens as the plain greedy serving chunks (per-slot n-gram drafts +
+one ragged span verify per iteration only shortcut weight passes)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from moondream_tpu.config import tiny_test_config
+from moondream_tpu.models.moondream import MoondreamModel
+from moondream_tpu.models.serve import ContinuousBatchingEngine
+from moondream_tpu.tokenizer import ByteTokenizer
+
+
+@pytest.fixture(scope="module")
+def model():
+    return MoondreamModel(tiny_test_config(), tokenizer=ByteTokenizer(), seed=0)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(1)
+    return [
+        Image.fromarray(rng.integers(0, 255, (80 + 16 * i, 100, 3), np.uint8))
+        for i in range(3)
+    ]
+
+
+def _plain(model, images, **submit_kw):
+    eng = ContinuousBatchingEngine(model, n_slots=4, slot_len=1024, chunk=3)
+    rids = [eng.submit(img, **submit_kw) for img in images]
+    out = eng.drain()
+    return [out[r] for r in rids]
+
+
+def _spec(model, images, spec_k=4, **submit_kw):
+    eng = ContinuousBatchingEngine(
+        model, n_slots=4, slot_len=1024, chunk=3, speculative=spec_k
+    )
+    rids = [eng.submit(img, **submit_kw) for img in images]
+    out = eng.drain()
+    return [out[r] for r in rids]
+
+
+def test_spec_serving_matches_plain(model, images):
+    ref = _plain(model, images, max_tokens=14)
+    got = _spec(model, images, spec_k=4, max_tokens=14)
+    assert got == ref
+
+
+def test_spec_serving_various_k(model, images):
+    ref = _plain(model, images[:2], max_tokens=10)
+    for k in (2, 8):
+        got = _spec(model, images[:2], spec_k=k, max_tokens=10)
+        assert got == ref, k
+
+
+def test_spec_serving_staggered_admission(model, images):
+    plain = ContinuousBatchingEngine(model, n_slots=3, slot_len=1024, chunk=3)
+    spec = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=3, speculative=4
+    )
+    outs = {}
+    for eng in (plain, spec):
+        r0 = eng.submit(images[0], max_tokens=12)
+        eng.step()
+        r1 = eng.submit(images[1], question="what?", max_tokens=12)
+        eng.step()
+        r2 = eng.submit(images[2], max_tokens=12)
+        out = eng.drain()
+        outs[eng] = [out[r0], out[r1], out[r2]]
+    assert outs[spec] == outs[plain]
+
+
+def test_spec_serving_slot_reuse(model, images):
+    """Histories must reset on slot reuse — a stale history can only change
+    drafts (never outputs), but the reuse path itself must run clean."""
+    eng = ContinuousBatchingEngine(
+        model, n_slots=1, slot_len=1024, chunk=4, speculative=4
+    )
+    r0 = eng.submit(images[0], max_tokens=6)
+    eng.drain()
+    r1 = eng.submit(images[1], max_tokens=6)
+    out = eng.drain()
+    ref = _plain(model, [images[0], images[1]], max_tokens=6)
+    assert [out == {**out}, True]
+    assert eng.results[r0] == ref[0]
+    assert eng.results[r1] == ref[1]
+
+
+def test_spec_serving_rejects_sampling(model):
+    with pytest.raises(ValueError):
+        ContinuousBatchingEngine(model, speculative=4, temperature=0.7)
+
+
+def test_spec_serving_int4_kv8(images):
+    from moondream_tpu.models.text import quantize_text_params
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, kv_int8=True)
+    )
+    model = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
+    model.params = {
+        **model.params, "text": quantize_text_params(model.params["text"])
+    }
+    ref = _plain(model, images[:2], max_tokens=10)
+    got = _spec(model, images[:2], spec_k=4, max_tokens=10)
+    assert got == ref
