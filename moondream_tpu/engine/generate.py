@@ -197,6 +197,7 @@ def generate_text_spec(
     lora: Optional[dict] = None,
     steer: Optional[jax.Array] = None,
     kv_bound: Optional[int] = None,
+    seed: Optional[jax.Array] = None,
 ) -> GenerateResult:
     """Speculative greedy generation: n-gram (prompt-lookup) drafting with
     exact verification — output tokens are IDENTICAL to `generate_text` at
@@ -225,32 +226,46 @@ def generate_text_spec(
     verify span can overrun the last emitted token by spec_k-1 slots).
     Near the context end the loop stops spec_k-1 tokens earlier than the
     plain loop would (the verify span must fit).
+
+    `seed`: optional fixed-width (S0,) int32 prompt tail (left-padded with
+    -1) prepended to the DRAFT history — prompt-lookup proper: answers
+    that copy entities from the question draft from the prompt's n-grams.
+    Seeding only changes draft quality, never outputs (pad -1 can match
+    no real bigram, and every draft is verified).
     """
     tokens0 = jnp.zeros((buffer,), jnp.int32)
+    s0 = 0 if seed is None else seed.shape[0]
+    hist0 = (
+        tokens0 if seed is None
+        else jnp.concatenate([seed.astype(jnp.int32), tokens0])
+    )
+    hlen = s0 + buffer
     limit = jnp.minimum(
         max_tokens, jnp.int32(config.max_context - spec_k + 1) - pos
     )
     if kv_bound is not None:
         limit = jnp.minimum(limit, jnp.int32(kv_bound - spec_k + 1) - pos)
-    j_idx = jnp.arange(buffer, dtype=jnp.int32)
+    j_idx = jnp.arange(hlen, dtype=jnp.int32)
 
     def cond(c):
-        kv_, pos_, tok, i, toks = c
+        kv_, pos_, tok, i, toks, hist = c
         return (tok != eos_id) & (i < limit)
 
     def body(c):
-        kv_, pos_, tok, i, toks = c
+        kv_, pos_, tok, i, toks, hist = c
         toks = toks.at[i].set(tok)
+        hist = hist.at[s0 + i].set(tok)
 
-        # ---- draft: most recent bigram match in the emitted history
-        prev = toks[jnp.maximum(i - 1, 0)]
-        succ = jnp.roll(toks, -1)  # succ[j] = toks[j+1]
-        match = (j_idx <= i - 2) & (toks == prev) & (succ == tok)
+        # ---- draft: most recent bigram match in [prompt seed; emitted]
+        prev = hist[jnp.maximum(s0 + i - 1, 0)]
+        succ = jnp.roll(hist, -1)  # succ[j] = hist[j+1]
+        match = (j_idx <= s0 + i - 2) & (hist == prev) & (succ == tok)
         any_match = jnp.any(match)
         j_best = jnp.max(jnp.where(match, j_idx, -1))
-        start = jnp.clip(j_best + 2, 0, buffer - (spec_k - 1))
-        draft = jax.lax.dynamic_slice(toks, (start,), (spec_k - 1,))
+        start = jnp.clip(j_best + 2, 0, hlen - (spec_k - 1))
+        draft = jax.lax.dynamic_slice(hist, (start,), (spec_k - 1,))
         draft = jnp.where(any_match, draft, jnp.full_like(draft, tok))
+        draft = jnp.maximum(draft, 0)  # pad -1 never reaches the embedding
 
         # ---- verify: one spec_k-token forward (prefill-style span)
         q_toks = jnp.concatenate([tok[None], draft])
@@ -279,11 +294,14 @@ def generate_text_spec(
         for j in range(spec_k - 1):
             idx = jnp.where(j + 1 < m, i + 1 + j, buffer)
             toks = toks.at[idx].set(g[j], mode="drop")
+            hist = hist.at[jnp.where(j + 1 < m, s0 + i + 1 + j, hlen)].set(
+                g[j], mode="drop"
+            )
         nxt = g[m - 1]
-        return (kv_, pos_ + m, nxt, i + m, toks)
+        return (kv_, pos_ + m, nxt, i + m, toks, hist)
 
-    kv, pos, _, count, tokens = jax.lax.while_loop(
-        cond, body, (kv, pos, first_token, jnp.int32(0), tokens0)
+    kv, pos, _, count, tokens, _ = jax.lax.while_loop(
+        cond, body, (kv, pos, first_token, jnp.int32(0), tokens0, hist0)
     )
     return GenerateResult(tokens=tokens, count=count, kv=kv, pos=pos)
 

@@ -234,6 +234,10 @@ class MoondreamModel:
 
         return self._jit(("gen", eos_id, suppress, buffer, kv_bound), build)
 
+    # prompt tails are bucketed to this fixed width (left-padded with -1)
+    # so seeded speculative decoding compiles once, not per prompt length
+    SPEC_SEED_LEN = 64
+
     def _spec_fn(
         self,
         eos_id: int,
@@ -241,6 +245,7 @@ class MoondreamModel:
         buffer: int,
         spec_k: int,
         kv_bound: Optional[int] = None,
+        seeded: bool = False,
     ):
         cfg = self.config.text
 
@@ -258,7 +263,19 @@ class MoondreamModel:
                 donate_argnums=(1,),
             )
 
-        return self._jit(("spec", eos_id, suppress, buffer, spec_k, kv_bound), build)
+        return self._jit(
+            ("spec", eos_id, suppress, buffer, spec_k, kv_bound, seeded), build
+        )
+
+    def _spec_seed(self, prompt_tokens) -> Optional[jax.Array]:
+        """Fixed-width draft seed from a prompt's token tail (None when
+        there is no prompt to seed from)."""
+        if not prompt_tokens:
+            return None
+        tail = list(prompt_tokens)[-self.SPEC_SEED_LEN :]
+        arr = np.full((self.SPEC_SEED_LEN,), -1, np.int32)
+        arr[-len(tail) :] = tail
+        return jnp.asarray(arr)
 
     def _reasoning_fn(
         self, suppress: Tuple[int, ...], buffer: int,
@@ -629,7 +646,8 @@ class MoondreamModel:
         )
 
     def _generate_answer_tokens(
-        self, kv, next_token, pos, settings, eos_id=None, lora=None, steer=None
+        self, kv, next_token, pos, settings, eos_id=None, lora=None,
+        steer=None, prompt_tokens=None,
     ) -> List[int]:
         """Fused-loop generation; returns the generated token ids."""
         max_tokens, temperature, top_p = self._settings(settings)
@@ -640,15 +658,21 @@ class MoondreamModel:
         # speculative greedy decode (settings={"speculative": k} or True
         # -> k=8): n-gram drafts verified in one k-token forward; output
         # tokens are identical to the plain greedy loop (engine.
-        # generate_text_spec). Sampling (temperature > 0) uses the plain
-        # loop — speculation here is exact only for argmax decoding.
+        # generate_text_spec). The prompt's token tail seeds the draft
+        # history (prompt-lookup). Sampling (temperature > 0) uses the
+        # plain loop — speculation here is exact only for argmax decoding.
         spec = (settings or {}).get("speculative")
         if spec and temperature == 0:
             spec_k = 8 if spec is True else max(2, int(spec))
             bound = self._decode_bound(pos + max_tokens + spec_k + 1)
-            result = self._spec_fn(eos, suppress, buffer, spec_k, bound)(
+            seed = self._spec_seed(prompt_tokens)
+            fn = self._spec_fn(
+                eos, suppress, buffer, spec_k, bound, seeded=seed is not None
+            )
+            kw = {"seed": seed} if seed is not None else {}
+            result = fn(
                 self.params["text"], kv, next_token, jnp.int32(pos),
-                jnp.int32(max_tokens), lora=lora, steer=steer,
+                jnp.int32(max_tokens), lora=lora, steer=steer, **kw,
             )
         else:
             bound = self._decode_bound(pos + max_tokens + 1)
@@ -663,7 +687,8 @@ class MoondreamModel:
         return tokens
 
     def _stream_answer(
-        self, kv, next_token, pos, settings, eos_id=None, lora=None, steer=None
+        self, kv, next_token, pos, settings, eos_id=None, lora=None,
+        steer=None, prompt_tokens=None,
     ):
         """Incremental streaming generator (jitted step per token),
         reference moondream.py:471-539."""
@@ -680,7 +705,7 @@ class MoondreamModel:
             yield from self._stream_answer_spec(
                 kv, next_token, pos, max_tokens, eos,
                 8 if spec is True else max(2, int(spec)),
-                (answer_id,), lora, steer, streamer,
+                (answer_id,), lora, steer, streamer, prompt_tokens,
             )
             return
 
@@ -727,10 +752,10 @@ class MoondreamModel:
 
     def _stream_answer_spec(
         self, kv, next_token, pos, max_tokens, eos, spec_k, suppress,
-        lora, steer, streamer,
+        lora, steer, streamer, prompt_tokens=None,
     ):
         """Speculative streaming: the host drafts spec_k-1 tokens by bigram
-        lookup over its generated-id list, one jitted verify forward
+        lookup over [prompt tail; generated ids], one jitted verify forward
         returns the greedy continuation at every span slot, and acceptance
         runs host-side — each device round trip advances 1..spec_k tokens.
         Token-for-token identical to the plain greedy stream."""
@@ -740,8 +765,12 @@ class MoondreamModel:
         limit_pos = self.config.text.max_context - spec_k + 1
 
         tok = int(next_token)
-        hist: List[int] = []
+        # seed drafting with the prompt tail (prompt-lookup); only the
+        # bigram index sees these — emission starts from `tok`
+        hist: List[int] = list(prompt_tokens or [])[-self.SPEC_SEED_LEN :]
         follow: Dict[Tuple[int, int], int] = {}  # bigram -> successor start
+        for t in range(2, len(hist)):
+            follow[(hist[t - 2], hist[t - 1])] = t
         generated = 0
         try:
             while tok != eos and generated < max_tokens and pos < limit_pos:
@@ -875,11 +904,13 @@ class MoondreamModel:
             return {
                 **reasoning_dict,
                 "answer": self._stream_answer(
-                    kv, next_token, pos, settings, lora=lora, steer=steer
+                    kv, next_token, pos, settings, lora=lora, steer=steer,
+                    prompt_tokens=answer_prompt,
                 ),
             }
         tokens = self._generate_answer_tokens(
-            kv, next_token, pos, settings, lora=lora, steer=steer
+            kv, next_token, pos, settings, lora=lora, steer=steer,
+            prompt_tokens=answer_prompt,
         )
         return {**reasoning_dict, "answer": "".join(stream_text(tokens, self._decode_tokens))}
 
@@ -947,10 +978,12 @@ class MoondreamModel:
 
         if stream:
             return {"caption": self._stream_answer(
-                kv, next_token, pos, settings, lora=lora, steer=steer
+                kv, next_token, pos, settings, lora=lora, steer=steer,
+                prompt_tokens=list(templates[length]),
             )}
         tokens = self._generate_answer_tokens(
-            kv, next_token, pos, settings, lora=lora, steer=steer
+            kv, next_token, pos, settings, lora=lora, steer=steer,
+            prompt_tokens=list(templates[length]),
         )
         return {"caption": "".join(stream_text(tokens, self._decode_tokens))}
 

@@ -190,9 +190,14 @@ class ContinuousBatchingEngine:
         _, _, next_token, pos, kv1 = model._prefill_prompt(
             kv1, prompt, enc.pos, self.temperature, self.top_p
         )
-        return self._admit(kv1, next_token, pos, slot, max_tokens, on_text)
+        return self._admit(
+            kv1, next_token, pos, slot, max_tokens, on_text, prompt
+        )
 
-    def _admit(self, kv1, next_token, pos, slot, max_tokens, on_text=None) -> int:
+    def _admit(
+        self, kv1, next_token, pos, slot, max_tokens, on_text=None,
+        prompt_tokens=None,
+    ) -> int:
         """Snapshot a prefilled request into `slot`. Rejects prompts that
         don't leave room to generate (the slot holds prompt + generated
         tokens: pos + tokens must fit slot_len); clamps the budget so ragged
@@ -235,7 +240,14 @@ class ContinuousBatchingEngine:
         self.active = self.active.at[slot].set(True)
         self.budget = self.budget.at[slot].set(budget)
         if self.spec_k:
-            self.hist_cnt = self.hist_cnt.at[slot].set(0)
+            # seed the slot's draft history with the prompt's token tail
+            # (prompt-lookup: answers copying entities from the question
+            # draft from the prompt's n-grams); drafts never change output
+            seed = list(prompt_tokens or [])[-(self.slot_len // 2):]
+            row = np.zeros((self.slot_len,), np.int32)
+            row[: len(seed)] = seed
+            self.hist = self.hist.at[slot].set(jnp.asarray(row))
+            self.hist_cnt = self.hist_cnt.at[slot].set(len(seed))
         return req_id
 
     def submit_many(
@@ -274,7 +286,9 @@ class ContinuousBatchingEngine:
                 kv1, prompt, enc.pos, self.temperature, self.top_p
             )
             req_ids.append(
-                self._admit(kv1, next_token, pos, slot, max_tokens, on_text)
+                self._admit(
+                    kv1, next_token, pos, slot, max_tokens, on_text, prompt
+                )
             )
         return req_ids
 

@@ -53,13 +53,14 @@ class ServingFrontend:
     do not block the text pool's stepper)."""
 
     def __init__(self, model, n_slots: int = 8, slot_len: int = 1024,
-                 chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0):
+                 chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0,
+                 speculative: int = 0):
         from .models.serve import ContinuousBatchingEngine
 
         self.model = model
         self.engine = ContinuousBatchingEngine(
             model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
-            temperature=temperature, top_p=top_p,
+            temperature=temperature, top_p=top_p, speculative=speculative,
             # overlap each chunk's host round trip with the next chunk's
             # device compute; costs one chunk of streaming latency
             pipeline_depth=2,
@@ -190,11 +191,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 n_slots: int = 8, slot_len: int = 1024, chunk: int = 8,
-                temperature: float = 0.0, top_p: float = 0.0):
+                temperature: float = 0.0, top_p: float = 0.0,
+                speculative: int = 0):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
-        temperature=temperature, top_p=top_p,
+        temperature=temperature, top_p=top_p, speculative=speculative,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -213,6 +215,9 @@ def main():
     parser.add_argument("--slot-len", type=int, default=1024)
     parser.add_argument("--chunk", type=int, default=8)
     parser.add_argument("--int4", action="store_true")
+    parser.add_argument("--spec", type=int, default=0, metavar="K",
+                        help="speculative serving chunks with K-token "
+                             "drafts (greedy pools only; exact)")
     parser.add_argument("--temperature", type=float, default=0.0,
                         help="pool-wide sampling temperature (0 = greedy)")
     parser.add_argument("--top-p", type=float, default=0.0)
@@ -238,6 +243,7 @@ def main():
         model, args.host, args.port,
         n_slots=args.slots, slot_len=args.slot_len, chunk=args.chunk,
         temperature=args.temperature, top_p=args.top_p,
+        speculative=args.spec,
     )
     print(f"serving on http://{args.host}:{args.port}")
     try:
