@@ -54,6 +54,7 @@ class ContinuousBatchingEngine:
         top_p: float = 0.0,
         pipeline_depth: int = 1,
         speculative: int = 0,
+        spec_adaptive: float = 0.0,
     ):
         """`pipeline_depth` > 1 overlaps each chunk's host round trip
         (token fetch + callbacks) with the NEXT chunk's device compute:
@@ -68,7 +69,14 @@ class ContinuousBatchingEngine:
         them in one ragged span forward, and advances each slot by 1..k
         tokens — token-identical to the plain chunks, 1..k tokens per
         weight pass (engine/serving.py:serve_chunk_spec). Budgets are
-        clamped k tokens earlier so verify spans always fit the slot."""
+        clamped k tokens earlier so verify spans always fit the slot.
+        `spec_adaptive`: when > 0, speculation auto-disables for the rest
+        of the engine's life once the measured accept rate (tokens per
+        slot-iteration, `spec_accept_rate`) stays below this threshold
+        after a warm-up of 8 chunks — a spec iteration costs ~20% more
+        than a plain step, so below ~1.2 accepted tokens/iteration the
+        plain chunks win. Requests may also pass an EncodedImage to
+        submit()/submit_many() to reuse a cached encode."""
         self.model = model
         self.config = model.config.text
         self.n_slots = n_slots
@@ -78,6 +86,10 @@ class ContinuousBatchingEngine:
         self.top_p = top_p
         self.pipeline_depth = max(1, int(pipeline_depth))
         self.spec_k = max(0, int(speculative))
+        self.spec_adaptive = float(spec_adaptive)
+        self._spec_tokens = 0  # emitted tokens through spec chunks
+        self._spec_slot_iters = 0  # active-slot x iteration opportunities
+        self._spec_chunks = 0
         if self.spec_k and temperature != 0.0:
             raise ValueError(
                 "speculative serving is exact only for greedy decoding; "
@@ -334,15 +346,40 @@ class ContinuousBatchingEngine:
         owners = {
             i: s.req_id for i, s in enumerate(self.slots) if s.active
         }
-        self._inflight.append((res, owners))
+        self._inflight.append((res, owners, bool(self.spec_k)))
+
+    @property
+    def spec_accept_rate(self) -> Optional[float]:
+        """Mean accepted tokens per active-slot iteration through the
+        speculative chunks (~1.0 = no draft ever accepted; spec_k = every
+        draft accepted; can dip below 1.0 because opportunities count full
+        chunks even when a request finishes mid-chunk). None before any
+        spec chunk completes."""
+        if not self._spec_slot_iters:
+            return None
+        return self._spec_tokens / self._spec_slot_iters
 
     def _process_oldest(self) -> List[int]:
-        res, owners = self._inflight.pop(0)
+        res, owners, was_spec = self._inflight.pop(0)
         # ONE host transfer for the whole chunk (separate np.asarray calls
         # would each pay the tunnel's round-trip jitter)
         toks, emitted_mask, still_active = jax.device_get(
             (res.tokens, res.emitted, res.active)
         )
+
+        if was_spec and owners:
+            self._spec_tokens += int(emitted_mask.sum())
+            # upper-bounds the opportunities: rows counted active for the
+            # full chunk even if they finish mid-chunk
+            self._spec_slot_iters += len(owners) * self.chunk
+            self._spec_chunks += 1
+            if (
+                self.spec_adaptive
+                and self.spec_k
+                and self._spec_chunks >= 8
+                and self.spec_accept_rate < self.spec_adaptive
+            ):
+                self.spec_k = 0  # plain chunks from here on
 
         finished = []
         for i, slot in enumerate(self.slots):

@@ -118,10 +118,15 @@ class ServingFrontend:
             fn = self.model.detect if kind == "detect" else self.model.point
             return fn(image, obj)
 
-    def occupancy(self) -> Dict[str, int]:
+    def occupancy(self) -> Dict[str, Any]:
         with self._lock:
             free = len(self.engine.free_slots())
-        return {"slots": self.engine.n_slots, "free": free}
+        out: Dict[str, Any] = {"slots": self.engine.n_slots, "free": free}
+        if self.engine.spec_k or self.engine.spec_accept_rate is not None:
+            out["speculative"] = self.engine.spec_k
+            rate = self.engine.spec_accept_rate
+            out["spec_accept_rate"] = round(rate, 3) if rate else None
+        return out
 
     def shutdown(self):
         self._stop = True

@@ -90,6 +90,23 @@ def test_spec_serving_slot_reuse(model, images):
     assert eng.results[r1] == ref[1]
 
 
+def test_spec_accept_rate_and_adaptive_off(model, images):
+    """The engine reports accepted tokens per slot-iteration, and with an
+    impossibly high adaptive threshold it falls back to plain chunks after
+    the warm-up — outputs unchanged either way."""
+    ref = _plain(model, images[:2], max_tokens=40)
+    eng = ContinuousBatchingEngine(
+        model, n_slots=2, slot_len=1024, chunk=2, speculative=4,
+        spec_adaptive=100.0,  # rate can never reach this -> must disable
+    )
+    rids = [eng.submit(img, max_tokens=40) for img in images[:2]]
+    out = eng.drain()
+    assert [out[r] for r in rids] == ref
+    assert eng.spec_k == 0  # adaptive fallback fired
+    assert eng.spec_accept_rate is not None
+    assert 0.0 < eng.spec_accept_rate <= 4.0
+
+
 def test_spec_serving_rejects_sampling(model):
     with pytest.raises(ValueError):
         ContinuousBatchingEngine(model, speculative=4, temperature=0.7)
