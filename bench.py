@@ -55,6 +55,11 @@ def main():
                              "NOTE: random weights degenerate to repetition "
                              "so acceptance — and tok/s — is an UPPER bound "
                              "vs real checkpoints")
+    parser.add_argument("--spec-temp", type=float, default=0.0, metavar="T",
+                        help="with --decode-only --spec: measure the "
+                             "speculative SAMPLING loop at this "
+                             "temperature (top_p 0.3, the reference's "
+                             "default regime) instead of greedy")
     parser.add_argument("--profile", default="",
                         help="write a jax.profiler trace of one caption to "
                              "this directory (view with tensorboard/xprof)")
@@ -190,7 +195,8 @@ def main():
         if args.spec:
             spec_fixed = jax.jit(
                 partial(
-                    engine.generate_text_spec,
+                    engine.generate_text_spec_sampled
+                    if args.spec_temp > 0 else engine.generate_text_spec,
                     config=config.text,
                     eos_id=-1,
                     suppress_ids=(config.tokenizer.answer_id,),
@@ -211,7 +217,13 @@ def main():
             )
             jax.block_until_ready(next_tok)
             t0 = time.perf_counter()
-            if args.spec:
+            if args.spec and args.spec_temp > 0:
+                res = spec_fixed(
+                    model.params["text"], kv, next_tok, jnp.int32(pos),
+                    jax.random.PRNGKey(0), jnp.float32(args.spec_temp),
+                    jnp.float32(0.3), jnp.int32(args.decode_tokens),
+                )
+            elif args.spec:
                 res = spec_fixed(
                     model.params["text"], kv, next_tok, jnp.int32(pos),
                     jnp.int32(args.decode_tokens),
@@ -239,6 +251,8 @@ def main():
         }
         if args.spec:
             out["spec_k"] = args.spec
+            if args.spec_temp > 0:
+                out["spec_temp"] = args.spec_temp
             out["spec_note"] = (
                 "random weights repeat heavily; acceptance (and tok/s) is "
                 "an upper bound vs real checkpoints"
@@ -394,30 +408,6 @@ def main():
             log(f"int4+kv8 B={int4_batch} config failed "
                 f"({type(e).__name__}: {e}); reporting bf16 only")
 
-        # ---- + int8 ViT: the encoder is the pipeline's dominant stage and
-        # is MXU-compute-bound; int8 block matmuls run at 2x the bf16 MXU
-        # rate (encoder A/B: 938 -> 794 ms / 120 crops). Reported as its
-        # own field, NOT folded into the headline: the reference's int4
-        # checkpoints quantize text+region only (torch/text.py:178,
-        # moondream.py:94), so vision PTQ is beyond-reference and its
-        # accuracy is unvalidated here (no real checkpoints reachable).
-        if int4_kv8_imgs_per_sec is not None:
-            try:
-                from moondream_tpu.models.vision import quantize_vision_params
-
-                model8.params = {
-                    **model8.params,
-                    "vision": quantize_vision_params(model8.params["vision"]),
-                }
-                model8._jits.clear()
-                model8._kv_pool.clear()
-                vit8_imgs_per_sec = run_pipelined(
-                    int4_batch, n_batches, tag=" int4+kv8+vit8",
-                    bench_model=model8,
-                )
-            except Exception as e:
-                log(f"int8-ViT config failed ({type(e).__name__}: {e})")
-
         # ---- int4 weights + int8 KV cache, measured where it matters:
         # steady-state SERVING decode. The pipelined caption config is
         # encode-bound (ViT, not the decode stage, sets its throughput),
@@ -463,6 +453,33 @@ def main():
                 serving_tps_int4_kv8 = serving_decode_tps(model8, " int4+kv8")
             except Exception as e:
                 log(f"serving decode config failed ({type(e).__name__}: {e})")
+
+        # ---- + int8 ViT (LAST — it mutates model8's vision params in
+        # place, so it must not precede any measurement of a non-vit8
+        # config): the encoder is the pipeline's dominant stage and is
+        # MXU-compute-bound; int8 block matmuls run at 2x the bf16 MXU
+        # rate (encoder A/B: 938 -> 794 ms / 120 crops). Reported as its
+        # own field, NOT folded into the headline: the reference's int4
+        # checkpoints quantize text+region only (torch/text.py:178,
+        # moondream.py:94), so vision PTQ is beyond-reference and its
+        # accuracy is unvalidated here (no real checkpoints reachable).
+        if int4_kv8_imgs_per_sec is not None:
+            try:
+                from moondream_tpu.models.vision import quantize_vision_params
+
+                model8.params = {
+                    **model8.params,
+                    "vision": quantize_vision_params(model8.params["vision"]),
+                }
+                model8._jits.clear()
+                model8._kv_pool.clear()
+                model._kv_pool.clear()
+                vit8_imgs_per_sec = run_pipelined(
+                    int4_batch, n_batches, tag=" int4+kv8+vit8",
+                    bench_model=model8,
+                )
+            except Exception as e:
+                log(f"int8-ViT config failed ({type(e).__name__}: {e})")
 
     # headline = best measured serving configuration (int4 checkpoints are
     # a supported reference mode, torch/layers.py:47-77; quantized serving

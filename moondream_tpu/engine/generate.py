@@ -169,20 +169,6 @@ def generate_text(
     return GenerateResult(tokens=tokens, count=count, kv=kv, pos=pos)
 
 
-def _lm_logits_seq(h: jax.Array, text_params: dict) -> jax.Array:
-    """_lm_logits over a (T, D) span -> (T, V)."""
-    from ..ops.layers import layer_norm
-
-    hn = layer_norm(h, text_params["post_ln"])
-    logits = jnp.dot(
-        hn, text_params["lm_head"]["w"], preferred_element_type=jnp.float32
-    )
-    b = text_params["lm_head"]["b"]
-    if b is not None:
-        logits = logits + b.astype(jnp.float32)
-    return logits.astype(jnp.bfloat16).astype(jnp.float32)
-
-
 def generate_text_spec(
     text_params: dict,
     kv: KVCache,
@@ -200,10 +186,16 @@ def generate_text_spec(
     seed: Optional[jax.Array] = None,
 ) -> GenerateResult:
     """Speculative greedy generation: n-gram (prompt-lookup) drafting with
-    exact verification — output tokens are IDENTICAL to `generate_text` at
+    exact verification — output tokens match `generate_text` at
     temperature 0 (verification accepts a draft token only when it equals
     the greedy continuation), but each loop iteration advances 1..spec_k
-    tokens for ONE pass over the weights.
+    tokens for ONE pass over the weights. Caveat on "match": the verify
+    forward computes logits over a (spec_k, D) span while the plain loop
+    uses (1, D) steps; XLA does not promise bitwise-equal accumulation
+    across those shapes, so a near-tie between the top-2 logits could in
+    principle flip an argmax. Equality is validated empirically (CPU
+    parity suites over many seeds + on-chip tools/spec_parity_tpu.py),
+    not structurally guaranteed.
 
     Single-stream decode is HBM-bound (the 2B bf16 weights are 2.8GB per
     token); a spec_k-token verify forward costs the same weight traffic as
@@ -274,7 +266,7 @@ def generate_text_spec(
             embs, text_params, kv_, pos_, jnp.int32(0), config, lora,
             kv_bound, steer,
         )
-        logits = _lm_logits_seq(hidden[0], text_params)  # (spec_k, V)
+        logits = _lm_logits(hidden[0], text_params)  # (spec_k, V) — _lm_logits is shape-generic
         for sid in suppress_ids:
             logits = logits.at[:, sid].set(NEG_INF)
         g = jnp.argmax(logits, -1).astype(jnp.int32)  # greedy continuations
@@ -306,6 +298,139 @@ def generate_text_spec(
     return GenerateResult(tokens=tokens, count=count, kv=kv, pos=pos)
 
 
+def generate_text_spec_sampled(
+    text_params: dict,
+    kv: KVCache,
+    first_token: jax.Array,
+    pos: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    max_tokens: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    buffer: int,
+    spec_k: int = 8,
+    lora: Optional[dict] = None,
+    steer: Optional[jax.Array] = None,
+    kv_bound: Optional[int] = None,
+    seed: Optional[jax.Array] = None,
+) -> GenerateResult:
+    """Speculative SAMPLING (temperature > 0): n-gram drafts accepted by
+    rejection against the target nucleus distribution — the emitted
+    sequence is distributed EXACTLY as the plain sampled loop's (standard
+    speculative-sampling argument: a deterministic draft d is accepted
+    with probability p(d); on rejection the token is drawn from the
+    residual p with d removed, renormalized — the unconditional marginal
+    is p either way). Outputs are NOT bit-identical to `generate_text`
+    for the same rng (RNG consumption differs); the DISTRIBUTION is
+    preserved, which is the contract sampling users rely on. After all
+    spec_k-1 drafts are accepted, a bonus token is drawn from the last
+    slot's distribution, so an iteration advances 1..spec_k tokens for
+    one weight pass. The reference's default settings (temperature 0.5,
+    top_p 0.3, moondream.py:26-53) are exactly this regime.
+
+    Same cache-overwrite/seed/kv_bound contracts as `generate_text_spec`.
+    """
+    from .sampling import target_probs
+
+    tokens0 = jnp.zeros((buffer,), jnp.int32)
+    s0 = 0 if seed is None else seed.shape[0]
+    hist0 = (
+        tokens0 if seed is None
+        else jnp.concatenate([seed.astype(jnp.int32), tokens0])
+    )
+    hlen = s0 + buffer
+    limit = jnp.minimum(
+        max_tokens, jnp.int32(config.max_context - spec_k + 1) - pos
+    )
+    if kv_bound is not None:
+        limit = jnp.minimum(limit, jnp.int32(kv_bound - spec_k + 1) - pos)
+    j_idx = jnp.arange(hlen, dtype=jnp.int32)
+
+    def cond(c):
+        kv_, pos_, tok, i, rng_, toks, hist = c
+        return (tok != eos_id) & (i < limit)
+
+    def body(c):
+        kv_, pos_, tok, i, rng_, toks, hist = c
+        toks = toks.at[i].set(tok)
+        hist = hist.at[s0 + i].set(tok)
+
+        # ---- draft (same n-gram lookup as the greedy spec loop)
+        prev = hist[jnp.maximum(s0 + i - 1, 0)]
+        succ = jnp.roll(hist, -1)
+        match = (j_idx <= s0 + i - 2) & (hist == prev) & (succ == tok)
+        any_match = jnp.any(match)
+        j_best = jnp.max(jnp.where(match, j_idx, -1))
+        start = jnp.clip(j_best + 2, 0, hlen - (spec_k - 1))
+        draft = jax.lax.dynamic_slice(hist, (start,), (spec_k - 1,))
+        draft = jnp.where(any_match, draft, jnp.full_like(draft, tok))
+        draft = jnp.maximum(draft, 0)
+
+        # ---- one spec_k-token verify forward
+        q_toks = jnp.concatenate([tok[None], draft])
+        embs = text_params["wte"][q_toks][None, :, :]
+        hidden, kv_ = text_ops.text_decoder(
+            embs, text_params, kv_, pos_, jnp.int32(0), config, lora,
+            kv_bound, steer,
+        )
+        logits = _lm_logits(hidden[0], text_params)  # (spec_k, V)
+        for sid in suppress_ids:
+            logits = logits.at[:, sid].set(NEG_INF)
+        p = target_probs(logits, temperature, top_p)  # (spec_k, V)
+
+        # ---- rejection acceptance: accept draft j+1 w.p. p[j, draft[j]]
+        rng_, k_acc, k_res = jax.random.split(rng_, 3)
+        u = jax.random.uniform(k_acc, (spec_k - 1,))
+        p_draft = p[jnp.arange(spec_k - 1), draft]
+        acc = (u < p_draft).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(acc))  # leading accepted drafts
+
+        # the sampled tail token for EVERY possible rejection slot (and
+        # the bonus slot), then select slot n_acc: residual = p with the
+        # rejected draft removed; bonus (all accepted) = p[k-1] itself
+        res_keys = jax.random.split(k_res, spec_k)
+        p_res = p
+        onehot = jax.nn.one_hot(draft, p.shape[-1], dtype=p.dtype)
+        p_res = p_res.at[: spec_k - 1].set(
+            jnp.maximum(p[: spec_k - 1] - onehot * 1e9, 0.0)
+        )  # zero the draft's column in rows 0..k-2
+        samp = jax.vmap(
+            lambda key, pr: jax.random.categorical(
+                key, jnp.log(jnp.maximum(pr, 1e-30))
+            )
+        )(res_keys, p_res).astype(jnp.int32)
+        tail = samp[n_acc]
+
+        # emitted sequence: draft[0..n_acc-1] then the sampled tail
+        m = n_acc + 1
+        emitted = jnp.concatenate([draft, tail[None]])  # only [:m] is real
+        emitted = jnp.where(
+            jnp.arange(spec_k) == n_acc, tail, emitted
+        )
+        # EOS: first emitted eos becomes the carried token
+        is_eos = (emitted == eos_id) & (jnp.arange(spec_k) < m)
+        eos_pos = jnp.argmax(is_eos)
+        m = jnp.where(jnp.any(is_eos) & (eos_pos + 1 < m), eos_pos + 1, m)
+        m = jnp.minimum(m, limit - i)
+
+        for j in range(spec_k - 1):
+            idx = jnp.where(j + 1 < m, i + 1 + j, buffer)
+            toks = toks.at[idx].set(emitted[j], mode="drop")
+            hist = hist.at[jnp.where(j + 1 < m, s0 + i + 1 + j, hlen)].set(
+                emitted[j], mode="drop"
+            )
+        nxt = emitted[m - 1]
+        return (kv_, pos_ + m, nxt, i + m, rng_, toks, hist)
+
+    kv, pos, _, count, _, tokens, _ = jax.lax.while_loop(
+        cond, body, (kv, pos, first_token, jnp.int32(0), rng, tokens0, hist0)
+    )
+    return GenerateResult(tokens=tokens, count=count, kv=kv, pos=pos)
+
+
 def verify_step(
     text_params: dict,
     kv: KVCache,
@@ -328,7 +453,7 @@ def verify_step(
         embs, text_params, kv, pos, jnp.int32(0), config, lora, kv_bound,
         steer,
     )
-    logits = _lm_logits_seq(hidden[0], text_params)
+    logits = _lm_logits(hidden[0], text_params)
     for sid in suppress_ids:
         logits = logits.at[:, sid].set(NEG_INF)
     return jnp.argmax(logits, -1).astype(jnp.int32), kv

@@ -22,6 +22,24 @@ def apply_top_p_mask(probs_desc: jax.Array, top_p: jax.Array) -> jax.Array:
     return filtered / jnp.sum(filtered, axis=-1, keepdims=True)
 
 
+def target_probs(
+    logits: jax.Array, temperature: jax.Array, top_p: jax.Array
+) -> jax.Array:
+    """The exact distribution `sample_token` draws from at temperature > 0
+    — softmax(logits/T) -> top-p filter -> renormalize — scattered back to
+    vocab order. (..., V) logits -> (..., V) probabilities. Used by
+    speculative sampling, whose accept/residual rule needs the target
+    probabilities themselves, not just a draw."""
+    logits = logits.astype(jnp.float32)
+    safe_t = jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(logits / safe_t, axis=-1)
+    order = jnp.argsort(-probs, axis=-1)
+    probs_desc = jnp.take_along_axis(probs, order, axis=-1)
+    filtered = apply_top_p_mask(probs_desc, top_p)
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(filtered, inv, axis=-1)
+
+
 def sample_token(
     logits: jax.Array,
     rng: jax.Array,

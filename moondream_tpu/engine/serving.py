@@ -323,7 +323,9 @@ def serve_chunk_spec(
     per-slot n-gram drafts from device-resident histories, one ragged
     span forward, per-row acceptance. Token-identical to `serve_chunk` at
     temperature 0 (verification accepts a draft token only when it equals
-    the greedy continuation). The engine must admit requests with
+    the greedy continuation; see generate_text_spec's caveat — span vs
+    single-step logit accumulation equality is validated empirically, not
+    a bitwise XLA guarantee). The engine must admit requests with
     budget <= slot_len - pos - spec_k so every row's verify span fits its
     slot (ContinuousBatchingEngine enforces this when speculative is on).
     """

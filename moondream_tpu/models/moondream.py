@@ -267,6 +267,36 @@ class MoondreamModel:
             ("spec", eos_id, suppress, buffer, spec_k, kv_bound, seeded), build
         )
 
+    def _spec_sampled_fn(
+        self,
+        eos_id: int,
+        suppress: Tuple[int, ...],
+        buffer: int,
+        spec_k: int,
+        kv_bound: Optional[int] = None,
+        seeded: bool = False,
+    ):
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(
+                    engine.generate_text_spec_sampled,
+                    config=cfg,
+                    eos_id=eos_id,
+                    suppress_ids=suppress,
+                    buffer=buffer,
+                    spec_k=spec_k,
+                    kv_bound=kv_bound,
+                ),
+                donate_argnums=(1,),
+            )
+
+        return self._jit(
+            ("spec_s", eos_id, suppress, buffer, spec_k, kv_bound, seeded),
+            build,
+        )
+
     def _spec_seed(self, prompt_tokens) -> Optional[jax.Array]:
         """Fixed-width draft seed from a prompt's token tail (None when
         there is no prompt to seed from)."""
@@ -655,25 +685,41 @@ class MoondreamModel:
         suppress = (self.config.tokenizer.answer_id,)
         buffer = self.config.text.max_context
 
-        # speculative greedy decode (settings={"speculative": k} or True
-        # -> k=8): n-gram drafts verified in one k-token forward; output
-        # tokens are identical to the plain greedy loop (engine.
-        # generate_text_spec). The prompt's token tail seeds the draft
-        # history (prompt-lookup). Sampling (temperature > 0) uses the
-        # plain loop — speculation here is exact only for argmax decoding.
+        # speculative decode (settings={"speculative": k} or True -> k=8):
+        # n-gram drafts verified in one k-token forward. Greedy
+        # (temperature 0): verification accepts a draft only when it
+        # equals the argmax continuation — outputs match the plain loop
+        # (engine.generate_text_spec). Sampled (temperature > 0):
+        # rejection against the target nucleus distribution — the output
+        # DISTRIBUTION is exactly the plain sampled loop's, though not
+        # bit-identical per rng (engine.generate_text_spec_sampled). The
+        # prompt's token tail seeds the draft history (prompt-lookup).
         spec = (settings or {}).get("speculative")
-        if spec and temperature == 0:
+        if spec:
             spec_k = 8 if spec is True else max(2, int(spec))
             bound = self._decode_bound(pos + max_tokens + spec_k + 1)
             seed = self._spec_seed(prompt_tokens)
-            fn = self._spec_fn(
-                eos, suppress, buffer, spec_k, bound, seeded=seed is not None
-            )
             kw = {"seed": seed} if seed is not None else {}
-            result = fn(
-                self.params["text"], kv, next_token, jnp.int32(pos),
-                jnp.int32(max_tokens), lora=lora, steer=steer, **kw,
-            )
+            if temperature == 0:
+                fn = self._spec_fn(
+                    eos, suppress, buffer, spec_k, bound,
+                    seeded=seed is not None,
+                )
+                result = fn(
+                    self.params["text"], kv, next_token, jnp.int32(pos),
+                    jnp.int32(max_tokens), lora=lora, steer=steer, **kw,
+                )
+            else:
+                fn = self._spec_sampled_fn(
+                    eos, suppress, buffer, spec_k, bound,
+                    seeded=seed is not None,
+                )
+                result = fn(
+                    self.params["text"], kv, next_token, jnp.int32(pos),
+                    self._next_rng(), jnp.float32(temperature),
+                    jnp.float32(top_p), jnp.int32(max_tokens),
+                    lora=lora, steer=steer, **kw,
+                )
         else:
             bound = self._decode_bound(pos + max_tokens + 1)
             result = self._generate_fn(eos, suppress, buffer, bound)(

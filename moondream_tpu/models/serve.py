@@ -217,7 +217,8 @@ class ContinuousBatchingEngine:
         model = self.model
         # spec verify spans write spec_k rows at a time; budgets are
         # clamped so pos + budget + spec_k never passes the slot edge
-        margin = self.spec_k if self.spec_k else 0
+        # (margin is 0 when speculation is off)
+        margin = self.spec_k
         if pos + 1 + margin > self.slot_len:
             model._recycle_kv(kv1)
             raise ValueError(

@@ -315,7 +315,12 @@ def attn_with_cache(
     # Small spans (speculative verify forwards, short prompt prefills) use
     # the same stacked-cache kernels with a query-span block — the XLA
     # branch below materializes a full cache-layer copy per layer, which
-    # costs as much HBM traffic as the attention itself.
+    # costs as much HBM traffic as the attention itself. NOTE this routes
+    # the DEFAULT short prompt prefill through the decode-span kernel on
+    # TPU (not just speculation); accumulation order differs from the
+    # flash/XLA path within normal fp32-accumulate tolerance, same as
+    # every other kernel-vs-XLA routing choice in this file
+    # (MOONDREAM_DISABLE_PALLAS opts out of all Pallas routing).
     ragged_pos = getattr(pos, "ndim", 0) == 1
     kernel_ok = q_len == 1 or (
         q_len <= 16

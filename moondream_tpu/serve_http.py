@@ -54,13 +54,14 @@ class ServingFrontend:
 
     def __init__(self, model, n_slots: int = 8, slot_len: int = 1024,
                  chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0,
-                 speculative: int = 0):
+                 speculative: int = 0, spec_adaptive: float = 0.0):
         from .models.serve import ContinuousBatchingEngine
 
         self.model = model
         self.engine = ContinuousBatchingEngine(
             model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
             temperature=temperature, top_p=top_p, speculative=speculative,
+            spec_adaptive=spec_adaptive,
             # overlap each chunk's host round trip with the next chunk's
             # device compute; costs one chunk of streaming latency
             pipeline_depth=2,
@@ -125,7 +126,9 @@ class ServingFrontend:
         if self.engine.spec_k or self.engine.spec_accept_rate is not None:
             out["speculative"] = self.engine.spec_k
             rate = self.engine.spec_accept_rate
-            out["spec_accept_rate"] = round(rate, 3) if rate else None
+            out["spec_accept_rate"] = (
+                round(rate, 3) if rate is not None else None
+            )
         return out
 
     def shutdown(self):
@@ -197,11 +200,12 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 n_slots: int = 8, slot_len: int = 1024, chunk: int = 8,
                 temperature: float = 0.0, top_p: float = 0.0,
-                speculative: int = 0):
+                speculative: int = 0, spec_adaptive: float = 0.0):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
         temperature=temperature, top_p=top_p, speculative=speculative,
+        spec_adaptive=spec_adaptive,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -223,6 +227,12 @@ def main():
     parser.add_argument("--spec", type=int, default=0, metavar="K",
                         help="speculative serving chunks with K-token "
                              "drafts (greedy pools only; exact)")
+    parser.add_argument("--spec-adaptive", type=float, default=1.2,
+                        metavar="RATE",
+                        help="with --spec: auto-disable speculation when "
+                             "the measured accept rate (tokens per "
+                             "slot-iteration) stays below RATE after "
+                             "warm-up; 0 disables the fallback")
     parser.add_argument("--temperature", type=float, default=0.0,
                         help="pool-wide sampling temperature (0 = greedy)")
     parser.add_argument("--top-p", type=float, default=0.0)
@@ -248,7 +258,7 @@ def main():
         model, args.host, args.port,
         n_slots=args.slots, slot_len=args.slot_len, chunk=args.chunk,
         temperature=args.temperature, top_p=args.top_p,
-        speculative=args.spec,
+        speculative=args.spec, spec_adaptive=args.spec_adaptive,
     )
     print(f"serving on http://{args.host}:{args.port}")
     try:

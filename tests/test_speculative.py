@@ -166,9 +166,10 @@ def test_spec_with_kv_int8():
     assert a1 == a0
 
 
-def test_spec_ignored_when_sampling():
-    """temperature > 0 routes through the plain sampled loop (speculation
-    is exact only for argmax decoding) — the setting must not crash."""
+def test_spec_sampled_smoke():
+    """temperature > 0 routes through speculative SAMPLING (rejection
+    against the target nucleus distribution) — must produce text and
+    respect max_tokens."""
     model = _model(seed=6)
     enc = model.encode_image(_image(6))
     out = model.caption(
@@ -177,3 +178,61 @@ def test_spec_ignored_when_sampling():
                   "speculative": True},
     )["caption"]
     assert isinstance(out, str)
+
+
+def test_spec_sampled_preserves_marginal_distribution():
+    """The first stochastic token's empirical distribution under the
+    sampled spec loop must match the plain sampled loop's (speculative
+    sampling preserves the target distribution exactly; only RNG
+    consumption differs). Total-variation distance over ~500 draws each
+    must be within sampling noise."""
+    from collections import Counter
+
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.engine import generate as engine
+    from moondream_tpu.models.text import KVCache, init_text_params
+
+    cfg = tiny_test_config().text
+    params = init_text_params(cfg, jax.random.PRNGKey(11))
+    kv0 = KVCache.create(cfg, batch=1)
+    tok0 = jnp.int32(7)
+    temp, top_p = jnp.float32(0.3), jnp.float32(0.9)
+
+    plain = jax.jit(
+        lambda kv, r: engine.generate_text(
+            params, kv, tok0, jnp.int32(0), r, temp, top_p, jnp.int32(2),
+            config=cfg, eos_id=-1, suppress_ids=(), buffer=cfg.max_context,
+        ).tokens[1]
+    )
+    spec = jax.jit(
+        lambda kv, r: engine.generate_text_spec_sampled(
+            params, kv, tok0, jnp.int32(0), r, temp, top_p, jnp.int32(2),
+            config=cfg, eos_id=-1, suppress_ids=(), buffer=cfg.max_context,
+            spec_k=4,
+        ).tokens[1]
+    )
+    N = 500
+    a = Counter(
+        int(plain(kv0, jax.random.PRNGKey(1000 + s))) for s in range(N)
+    )
+    b = Counter(
+        int(spec(kv0, jax.random.PRNGKey(5000 + s))) for s in range(N)
+    )
+    support = set(a) | set(b)
+    tv = 0.5 * sum(abs(a.get(t, 0) - b.get(t, 0)) for t in support) / N
+    # identical distributions over ~500 draws: TV concentrates around
+    # sqrt(k_eff/N) ~ 0.1; a broken residual rule lands far above
+    assert tv < 0.2, (tv, a.most_common(5), b.most_common(5))
+
+
+def test_spec_sampled_respects_max_tokens():
+    model = _model(seed=7)
+    enc = model.encode_image(_image(7))
+    for mt in (1, 5):
+        out = model.query(
+            image=enc, question="?",
+            settings={"temperature": 0.5, "top_p": 0.3, "max_tokens": mt,
+                      "speculative": 4},
+        )["answer"]
+        toks = model._encode_text(out) if out else []
+        assert len(toks) <= mt + 2  # detokenize/retokenize slack
