@@ -459,6 +459,65 @@ def verify_step(
     return jnp.argmax(logits, -1).astype(jnp.int32), kv
 
 
+def verify_step_sampled(
+    text_params: dict,
+    kv: KVCache,
+    q_toks: jax.Array,  # (spec_k,) = [cur, draft...]
+    pos: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    config: TextConfig,
+    suppress_ids: Tuple[int, ...] = (),
+    lora: Optional[dict] = None,
+    steer: Optional[jax.Array] = None,
+    kv_bound: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """One speculative-SAMPLING verify step for the streaming path: the
+    rejection test and residual/bonus draws all run on device; returns
+    (emitted (spec_k,) where [:m] are the iteration's new tokens,
+    m scalar, kv). The host applies EOS/max_tokens cuts and feeds the
+    streamer — each round trip advances 1..spec_k tokens with the exact
+    plain-loop output distribution (see generate_text_spec_sampled)."""
+    from .sampling import target_probs
+
+    spec_k = q_toks.shape[0]
+    draft = q_toks[1:]
+    embs = text_params["wte"][q_toks][None, :, :]
+    hidden, kv = text_ops.text_decoder(
+        embs, text_params, kv, pos, jnp.int32(0), config, lora, kv_bound,
+        steer,
+    )
+    logits = _lm_logits(hidden[0], text_params)
+    for sid in suppress_ids:
+        logits = logits.at[:, sid].set(NEG_INF)
+    p = target_probs(logits, temperature, top_p)
+
+    k_acc, k_res = jax.random.split(rng)
+    u = jax.random.uniform(k_acc, (spec_k - 1,))
+    p_draft = p[jnp.arange(spec_k - 1), draft]
+    n_acc = jnp.sum(jnp.cumprod((u < p_draft).astype(jnp.int32)))
+
+    res_keys = jax.random.split(k_res, spec_k)
+    onehot = jax.nn.one_hot(draft, p.shape[-1], dtype=p.dtype)
+    p_res = p.at[: spec_k - 1].set(
+        jnp.maximum(p[: spec_k - 1] - onehot * 1e9, 0.0)
+    )
+    samp = jax.vmap(
+        lambda key, pr: jax.random.categorical(
+            key, jnp.log(jnp.maximum(pr, 1e-30))
+        )
+    )(res_keys, p_res).astype(jnp.int32)
+    tail = samp[n_acc]
+
+    emitted = jnp.where(jnp.arange(spec_k) == n_acc, tail, q_toks)
+    # shift: emitted[j] for j < n_acc is draft[j] (= q_toks[j+1])
+    emitted = jnp.where(
+        jnp.arange(spec_k) < n_acc, jnp.roll(q_toks, -1), emitted
+    )
+    return emitted, n_acc + 1, kv
+
+
 class ReasoningResult(NamedTuple):
     tokens: jax.Array  # (buffer,) int32
     is_coord: jax.Array  # (buffer,) bool — token i was a grounding coordinate

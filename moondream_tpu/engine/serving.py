@@ -423,6 +423,165 @@ def serve_chunk_spec(
     )
 
 
+class ServeChunkSpecSampledResult(NamedTuple):
+    tokens: jax.Array
+    emitted: jax.Array
+    active: jax.Array
+    pos: jax.Array
+    cur: jax.Array
+    budget: jax.Array
+    kv: KVCache
+    hist: jax.Array
+    hist_cnt: jax.Array
+    rng: jax.Array
+
+
+def serve_chunk_spec_sampled(
+    text_params: dict,
+    kv: KVCache,
+    cur_tokens: jax.Array,
+    pos: jax.Array,
+    active: jax.Array,
+    budget: jax.Array,
+    hist: jax.Array,
+    hist_cnt: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    n_iter: int,
+    spec_k: int,
+    kv_bound: Optional[int] = None,
+) -> ServeChunkSpecSampledResult:
+    """Speculative SAMPLING serving chunk: like `serve_chunk_spec` but each
+    row's drafts are accepted by rejection against the row's target
+    nucleus distribution, with residual/bonus draws on rejection — the
+    emitted streams are distributed exactly as the plain sampled chunks'
+    (see generate_text_spec_sampled), though not bit-identical per rng.
+    Same slot-edge/budget contracts as the greedy spec chunk."""
+    from .sampling import target_probs as _target_probs
+
+    S = cur_tokens.shape[0]
+    W = n_iter * spec_k
+    H = hist.shape[1]
+    toks0 = jnp.zeros((S, W), jnp.int32)
+    emit0 = jnp.zeros((S, W), jnp.bool_)
+    col0 = jnp.zeros((S,), jnp.int32)
+    rows = jnp.arange(S, dtype=jnp.int32)
+    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
+    max_pos = kv_bound or config.max_context
+
+    def body(_, c):
+        kv_, cur, pos_, act, bud, h_, cnt, col, toks, emit, rng_ = c
+
+        toks = toks.at[rows, jnp.where(act, col, W)].set(cur, mode="drop")
+        emit = emit.at[rows, jnp.where(act, col, W)].set(True, mode="drop")
+        h_ = h_.at[rows, jnp.where(act, jnp.minimum(cnt, H - 1), H)].set(
+            cur, mode="drop"
+        )
+        cnt1 = cnt + act.astype(jnp.int32)
+
+        # ---- per-row n-gram draft (same as the greedy spec chunk)
+        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
+        succ = jnp.roll(h_, -1, axis=1)
+        match = (
+            (t_idx <= (cnt1 - 3)[:, None])
+            & (h_ == prev[:, None])
+            & (succ == cur[:, None])
+        )
+        any_match = jnp.any(match, axis=1)
+        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
+        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
+        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
+        draft = jnp.take_along_axis(h_, gather, axis=1)
+        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+
+        q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
+        logits, kv_ = ragged_verify_step(
+            text_params, kv_, q_toks, pos_, config, kv_bound
+        )
+        for sid in suppress_ids:
+            logits = logits.at[:, :, sid].set(NEG_INF)
+        p = _target_probs(logits, temperature, top_p)  # (S, k, V)
+
+        # ---- per-row rejection acceptance + residual/bonus draws
+        rng_, k_acc, k_res = jax.random.split(rng_, 3)
+        u = jax.random.uniform(k_acc, (S, spec_k - 1))
+        p_draft = jnp.take_along_axis(
+            p[:, : spec_k - 1], draft[..., None], axis=-1
+        )[..., 0]
+        acc = (u < p_draft).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)  # (S,)
+
+        onehot = jax.nn.one_hot(draft, p.shape[-1], dtype=p.dtype)
+        p_res = p.at[:, : spec_k - 1].set(
+            jnp.maximum(p[:, : spec_k - 1] - onehot * 1e9, 0.0)
+        )
+        res_keys = jax.random.split(k_res, S * spec_k).reshape(S, spec_k, 2)
+        samp = jax.vmap(
+            jax.vmap(
+                lambda key, pr: jax.random.categorical(
+                    key, jnp.log(jnp.maximum(pr, 1e-30))
+                )
+            )
+        )(res_keys, p_res).astype(jnp.int32)  # (S, k)
+        tail = samp[rows, n_acc]
+
+        emitted = jnp.where(
+            jnp.arange(spec_k)[None, :] == n_acc[:, None],
+            tail[:, None],
+            jnp.concatenate([draft, tail[:, None]], axis=1),
+        )  # (S, k): [:m-1] accepted drafts, [m-1] the sampled token
+        m = n_acc + 1
+        is_eos = (emitted == eos_id) & (
+            jnp.arange(spec_k)[None, :] < m[:, None]
+        )
+        eos_pos = jnp.argmax(is_eos, axis=1)
+        m = jnp.where(
+            jnp.any(is_eos, axis=1) & (eos_pos + 1 < m), eos_pos + 1, m
+        )
+        m = jnp.minimum(m, bud)
+        m = jnp.where(act, m, 0)
+
+        for j in range(spec_k - 1):
+            valid = act & (j + 1 < m)
+            toks = toks.at[rows, jnp.where(valid, col + 1 + j, W)].set(
+                emitted[:, j], mode="drop"
+            )
+            emit = emit.at[rows, jnp.where(valid, col + 1 + j, W)].set(
+                True, mode="drop"
+            )
+            h_ = h_.at[
+                rows, jnp.where(valid, jnp.minimum(cnt1 + j, H - 1), H)
+            ].set(emitted[:, j], mode="drop")
+
+        nxt = emitted[rows, jnp.maximum(m - 1, 0)]
+        cur = jnp.where(act, nxt, cur)
+        pos_ = pos_ + m
+        bud = bud - m
+        cnt2 = cnt1 + jnp.maximum(m - 1, 0) * act.astype(jnp.int32)
+        col = col + m
+        act = (
+            act & (cur != eos_id) & (bud > 0)
+            & (pos_ + spec_k <= max_pos)
+        )
+        return (kv_, cur, pos_, act, bud, h_, cnt2, col, toks, emit, rng_)
+
+    (kv, cur, pos, active, budget, hist, hist_cnt, _, toks, emit, rng) = (
+        jax.lax.fori_loop(
+            0, n_iter, body,
+            (kv, cur_tokens, pos, active, budget, hist, hist_cnt, col0,
+             toks0, emit0, rng),
+        )
+    )
+    return ServeChunkSpecSampledResult(
+        tokens=toks, emitted=emit, active=active, pos=pos, cur=cur,
+        budget=budget, kv=kv, hist=hist, hist_cnt=hist_cnt, rng=rng,
+    )
+
+
 def write_slot(kv_pool: KVCache, snap: KVCache, slot: jax.Array) -> KVCache:
     """Copy one request's prefilled KV span into pool slot `slot`.
     snap leaves: (L, 1, H, T_span, D) (+ (L, 1, H, T_span, 1) int8 scales)."""

@@ -747,11 +747,12 @@ class MoondreamModel:
         max_ctx = self.config.text.max_context
 
         spec = (settings or {}).get("speculative")
-        if spec and temperature == 0:
+        if spec:
             yield from self._stream_answer_spec(
                 kv, next_token, pos, max_tokens, eos,
                 8 if spec is True else max(2, int(spec)),
                 (answer_id,), lora, steer, streamer, prompt_tokens,
+                temperature, top_p,
             )
             return
 
@@ -781,32 +782,40 @@ class MoondreamModel:
 
     def _verify_fn(
         self, spec_k: int, suppress: Tuple[int, ...],
-        kv_bound: Optional[int] = None,
+        kv_bound: Optional[int] = None, sampled: bool = False,
     ):
         cfg = self.config.text
 
         def build():
             return jax.jit(
                 partial(
-                    engine.verify_step, config=cfg, suppress_ids=suppress,
-                    kv_bound=kv_bound,
+                    engine.verify_step_sampled if sampled
+                    else engine.verify_step,
+                    config=cfg, suppress_ids=suppress, kv_bound=kv_bound,
                 ),
                 donate_argnums=(1,),
             )
 
-        return self._jit(("verify", spec_k, suppress, kv_bound), build)
+        return self._jit(("verify", spec_k, suppress, kv_bound, sampled), build)
 
     def _stream_answer_spec(
         self, kv, next_token, pos, max_tokens, eos, spec_k, suppress,
         lora, steer, streamer, prompt_tokens=None,
+        temperature=0.0, top_p=0.0,
     ):
         """Speculative streaming: the host drafts spec_k-1 tokens by bigram
-        lookup over [prompt tail; generated ids], one jitted verify forward
-        returns the greedy continuation at every span slot, and acceptance
-        runs host-side — each device round trip advances 1..spec_k tokens.
-        Token-for-token identical to the plain greedy stream."""
+        lookup over [prompt tail; generated ids] and one jitted verify
+        forward advances 1..spec_k tokens per device round trip. Greedy
+        (temperature 0): acceptance runs host-side against the argmax
+        continuations — token-for-token identical to the plain greedy
+        stream. Sampled: the rejection test and residual/bonus draws run
+        on device (engine.verify_step_sampled) — distribution-identical
+        to the plain sampled stream."""
+        sampled = temperature > 0
         verify = self._verify_fn(
-            spec_k, suppress, self._decode_bound(pos + max_tokens + spec_k + 1)
+            spec_k, suppress,
+            self._decode_bound(pos + max_tokens + spec_k + 1),
+            sampled=sampled,
         )
         limit_pos = self.config.text.max_context - spec_k + 1
 
@@ -832,6 +841,35 @@ class MoondreamModel:
                     draft += [tok] * (spec_k - 1 - len(draft))
                 else:
                     draft = [tok] * (spec_k - 1)
+
+                if sampled:
+                    em_arr, m_arr, kv = verify(
+                        self.params["text"], kv,
+                        jnp.asarray([tok] + draft, jnp.int32),
+                        jnp.int32(pos), self._next_rng(),
+                        jnp.float32(temperature), jnp.float32(top_p),
+                        lora=lora, steer=steer,
+                    )
+                    em, m = np.asarray(em_arr), int(m_arr)
+                    g = [int(t) for t in em]  # emitted[:m] are the tokens
+                    # EOS cut mirrors the plain sampled loop: the first
+                    # emitted EOS is carried (never fed), loop exits
+                    for j in range(m - 1):
+                        if g[j] == eos:
+                            m = j + 1
+                            break
+                    m = min(m, max_tokens - generated)
+                    for t in g[: m - 1]:
+                        chunk = streamer.feed(t)
+                        if chunk:
+                            yield chunk
+                        hist.append(t)
+                        if len(hist) >= 3:
+                            follow[(hist[-3], hist[-2])] = len(hist) - 1
+                    tok = g[m - 1]
+                    pos += m
+                    generated += m
+                    continue
 
                 g_arr, kv = verify(
                     self.params["text"], kv,

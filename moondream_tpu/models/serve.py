@@ -64,11 +64,14 @@ class ContinuousBatchingEngine:
         a request's tail; throughput-oriented callers (HTTP server,
         bench) use 2.
 
-        `speculative=k` (greedy pools only): each chunk iteration drafts
-        k-1 tokens per slot from its own device-resident history, verifies
-        them in one ragged span forward, and advances each slot by 1..k
-        tokens — token-identical to the plain chunks, 1..k tokens per
-        weight pass (engine/serving.py:serve_chunk_spec). Budgets are
+        `speculative=k`: each chunk iteration drafts k-1 tokens per slot
+        from its own device-resident history, verifies them in one ragged
+        span forward, and advances each slot by 1..k tokens. Greedy pools
+        (temperature 0): token-identical to the plain chunks
+        (engine/serving.py:serve_chunk_spec). Sampled pools: rejection
+        against each row's target nucleus distribution — the emitted
+        streams are distribution-identical to the plain sampled chunks
+        (serve_chunk_spec_sampled). Budgets are
         clamped k tokens earlier so verify spans always fit the slot.
         `spec_adaptive`: when > 0, speculation auto-disables for the rest
         of the engine's life once the measured accept rate (tokens per
@@ -90,11 +93,6 @@ class ContinuousBatchingEngine:
         self._spec_tokens = 0  # emitted tokens through spec chunks
         self._spec_slot_iters = 0  # active-slot x iteration opportunities
         self._spec_chunks = 0
-        if self.spec_k and temperature != 0.0:
-            raise ValueError(
-                "speculative serving is exact only for greedy decoding; "
-                "use temperature=0"
-            )
         self._inflight: List[Any] = []
 
         self.kv = KVCache.create(
@@ -136,12 +134,14 @@ class ContinuousBatchingEngine:
         return fn
 
     def _spec_chunk_fn(self):
-        key = ("spec_chunk", self.chunk, self.spec_k)
+        sampled = self.temperature > 0
+        key = ("spec_chunk", self.chunk, self.spec_k, sampled)
         fn = self._jits.get(key)
         if fn is None:
             fn = jax.jit(
                 partial(
-                    serving.serve_chunk_spec,
+                    serving.serve_chunk_spec_sampled if sampled
+                    else serving.serve_chunk_spec,
                     config=self.config,
                     eos_id=self.model.config.tokenizer.eos_id,
                     suppress_ids=(self.model.config.tokenizer.answer_id,),
@@ -320,7 +320,15 @@ class ContinuousBatchingEngine:
     def _dispatch_chunk(self):
         """Enqueue one fused ragged-decode chunk on the current device
         state (async dispatch — no host sync) and start the token fetch."""
-        if self.spec_k:
+        if self.spec_k and self.temperature > 0:
+            res = self._spec_chunk_fn()(
+                self.model.params["text"], self.kv, self.cur, self.pos,
+                self.active, self.budget, self.hist, self.hist_cnt,
+                self.rng, jnp.float32(self.temperature),
+                jnp.float32(self.top_p),
+            )
+            self.hist, self.hist_cnt, self.rng = res.hist, res.hist_cnt, res.rng
+        elif self.spec_k:
             res = self._spec_chunk_fn()(
                 self.model.params["text"], self.kv, self.cur, self.pos,
                 self.active, self.budget, self.hist, self.hist_cnt,

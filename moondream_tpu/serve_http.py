@@ -226,7 +226,9 @@ def main():
     parser.add_argument("--int4", action="store_true")
     parser.add_argument("--spec", type=int, default=0, metavar="K",
                         help="speculative serving chunks with K-token "
-                             "drafts (greedy pools only; exact)")
+                             "drafts (greedy pools: exact token match; "
+                             "sampled pools: exact distribution via "
+                             "rejection sampling)")
     parser.add_argument("--spec-adaptive", type=float, default=1.2,
                         metavar="RATE",
                         help="with --spec: auto-disable speculation when "

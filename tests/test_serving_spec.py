@@ -107,9 +107,20 @@ def test_spec_accept_rate_and_adaptive_off(model, images):
     assert 0.0 < eng.spec_accept_rate <= 4.0
 
 
-def test_spec_serving_rejects_sampling(model):
-    with pytest.raises(ValueError):
-        ContinuousBatchingEngine(model, speculative=4, temperature=0.7)
+def test_spec_serving_sampled_pool(model, images):
+    """Sampled pools (temperature > 0) speculate via per-row rejection
+    sampling — requests must complete with budget respected."""
+    eng = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=3, speculative=4,
+        temperature=0.6, top_p=0.9,
+    )
+    rids = [eng.submit(img, max_tokens=9) for img in images]
+    out = eng.drain()
+    for r in rids:
+        assert isinstance(out[r], str)
+    for s in eng.slots:
+        assert len(s.tokens) <= 9
+    assert eng.spec_accept_rate is not None
 
 
 def test_spec_serving_int4_kv8(images):

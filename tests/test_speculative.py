@@ -236,3 +236,18 @@ def test_spec_sampled_respects_max_tokens():
         )["answer"]
         toks = model._encode_text(out) if out else []
         assert len(toks) <= mt + 2  # detokenize/retokenize slack
+
+
+def test_spec_sampled_streaming_smoke():
+    """Sampled streaming routes through the device-side rejection verify
+    step; must produce text and respect max_tokens."""
+    model = _model(seed=10)
+    enc = model.encode_image(_image(10))
+    out = "".join(
+        model.query(
+            image=enc, question="?", stream=True,
+            settings={"temperature": 0.6, "top_p": 0.9, "max_tokens": 10,
+                      "speculative": 4},
+        )["answer"]
+    )
+    assert isinstance(out, str)
