@@ -46,22 +46,31 @@ def sample_tokens_batched(
     logits: jax.Array, rng: jax.Array, temperature: jax.Array, top_p: jax.Array
 ) -> jax.Array:
     """Per-row sampling over (B, V) logits; same semantics as
-    sampling.sample_token."""
+    sampling.sample_token. `temperature`/`top_p` may be scalars (whole
+    pool shares one setting — the greedy fast path skips the vocab sort
+    entirely) or (B,) arrays (per-request settings in the serving pool —
+    greedy rows select their argmax via a per-row where, so they stay
+    exact inside a mixed pool)."""
+    per_row = getattr(temperature, "ndim", 0) == 1
 
     def greedy(_):
         return jnp.argmax(logits, axis=-1)
 
     def nucleus(_):
-        safe_t = jnp.maximum(temperature, 1e-6)
+        t = temperature[:, None] if per_row else temperature
+        p_lim = top_p[:, None] if getattr(top_p, "ndim", 0) == 1 else top_p
+        safe_t = jnp.maximum(t, 1e-6)
         probs = jax.nn.softmax(logits / safe_t, axis=-1)
         order = jnp.argsort(-probs, axis=-1)
         probs_desc = jnp.take_along_axis(probs, order, axis=-1)
-        filtered = apply_top_p_mask(probs_desc, top_p)
+        filtered = apply_top_p_mask(probs_desc, p_lim)
         idx = jax.random.categorical(
             rng, jnp.log(jnp.maximum(filtered, 1e-30)), axis=-1
         )
         return jnp.take_along_axis(order, idx[:, None], axis=-1)[:, 0]
 
+    if per_row:
+        return jnp.where(temperature <= 0.0, greedy(None), nucleus(None))
     return jax.lax.cond(temperature <= 0.0, greedy, nucleus, None)
 
 

@@ -32,7 +32,10 @@ from ..models import text as text_ops
 from ..models.text import KVCache
 from .sampling import sample_token
 
-NEG_INF = jnp.float32(-1e30)
+# plain Python float: a module-level jnp scalar would initialize the
+# default JAX backend at IMPORT time (observed hanging every CLI
+# subprocess when the TPU tunnel is down); jnp ops accept weak floats
+NEG_INF = -1e30
 
 
 def _lm_logits(h: jax.Array, text_params: dict) -> jax.Array:

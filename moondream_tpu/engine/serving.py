@@ -28,7 +28,10 @@ from ..ops.layers import layer_norm, linear, mlp
 from ..ops.rope import apply_rotary_emb
 from .batched import lm_logits_batched, sample_tokens_batched
 
-NEG_INF = jnp.float32(-1e30)
+# plain Python float: a module-level jnp scalar would initialize the
+# default JAX backend at IMPORT time (observed hanging every CLI
+# subprocess when the TPU tunnel is down); jnp ops accept weak floats
+NEG_INF = -1e30
 
 
 def _ragged_attn(
@@ -504,7 +507,18 @@ def serve_chunk_spec_sampled(
         )
         for sid in suppress_ids:
             logits = logits.at[:, :, sid].set(NEG_INF)
-        p = _target_probs(logits, temperature, top_p)  # (S, k, V)
+        # per-request settings arrive as (S,) arrays — broadcast over the
+        # (S, k, V) span; greedy rows (temp 0 -> 1e-6) reduce to a point
+        # mass at the argmax, so they stay exact inside a mixed pool
+        t = (
+            temperature[:, None, None]
+            if getattr(temperature, "ndim", 0) == 1 else temperature
+        )
+        pp = (
+            top_p[:, None, None]
+            if getattr(top_p, "ndim", 0) == 1 else top_p
+        )
+        p = _target_probs(logits, t, pp)  # (S, k, V)
 
         # ---- per-row rejection acceptance + residual/bonus draws
         rng_, k_acc, k_res = jax.random.split(rng_, 3)

@@ -43,6 +43,25 @@ class _Slot:
     streamer: Optional[Any] = None  # TokenStreamer when on_text is set
 
 
+@dataclass
+class PreparedRequest:
+    """An encoded + prefilled request not yet occupying a pool slot.
+
+    Produced by `prepare()`; holds a single-row KV snapshot (a pooled
+    max-context buffer) until `admit_prepared()` moves it into a slot or
+    `release()` returns it. Lets servers run the expensive part of
+    admission (host crops + ViT + prefill, ~0.5 s) WITHOUT blocking the
+    pool's decode chunks — only the final slot write needs the pool."""
+
+    kv1: Any
+    next_token: Any
+    pos: int
+    prompt: List[int]
+    temperature: float
+    top_p: float
+    released: bool = False
+
+
 class ContinuousBatchingEngine:
     def __init__(
         self,
@@ -103,6 +122,15 @@ class ContinuousBatchingEngine:
         self.pos = jnp.zeros((S,), jnp.int32)
         self.active = jnp.zeros((S,), jnp.bool_)
         self.budget = jnp.zeros((S,), jnp.int32)
+        # per-slot sampling settings (requests may override the pool
+        # defaults per submit); greedy rows stay exact in a mixed pool
+        self.temp_row = jnp.full((S,), temperature, jnp.float32)
+        self.topp_row = jnp.full((S,), top_p, jnp.float32)
+        self._sampling_used = temperature > 0  # sticky: routes spec chunks
+        # sticky: once any request overrides the pool defaults, chunks take
+        # per-row (S,) settings; until then scalars keep the all-greedy
+        # fast path (no vocab sort) inside sample_tokens_batched
+        self._row_overrides = False
         self.rng = jax.random.PRNGKey(0)
 
         if self.spec_k:
@@ -134,7 +162,7 @@ class ContinuousBatchingEngine:
         return fn
 
     def _spec_chunk_fn(self):
-        sampled = self.temperature > 0
+        sampled = self._sampling_used
         key = ("spec_chunk", self.chunk, self.spec_k, sampled)
         fn = self._jits.get(key)
         if fn is None:
@@ -173,20 +201,47 @@ class ContinuousBatchingEngine:
         caption_length: str = "normal",
         max_tokens: int = DEFAULT_MAX_TOKENS,
         on_text=None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
     ) -> int:
         """Admit one request (caption by default; VQA when `question` is
         given). Blocks stepping the pool only for this request's prefill.
         Raises RuntimeError when no slot is free — call step() first.
+        `image` may be an EncodedImage to reuse a cached encode.
 
+        `temperature`/`top_p`: per-request sampling settings (default:
+        the pool's); greedy and sampled requests mix in one pool.
         `on_text(req_id, chunk)`: optional per-request streaming callback,
         invoked from step() with word-boundary-safe text chunks as the
         request decodes (same flushing rules as the single-stream API)."""
-        free = self.free_slots()
-        if not free:
+        if not self.free_slots():
             raise RuntimeError("no free slot; step() or drain() first")
-        slot = free[0]
+        prep = self.prepare(
+            image, question=question, caption_length=caption_length,
+            temperature=temperature, top_p=top_p,
+        )
+        return self.admit_prepared(prep, max_tokens=max_tokens, on_text=on_text)
+
+    def prepare(
+        self,
+        image,
+        question: Optional[str] = None,
+        caption_length: str = "normal",
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+    ) -> PreparedRequest:
+        """Encode + prefill a request WITHOUT touching the pool state, so a
+        server thread can run it while another thread keeps step()ping the
+        pool (the expensive admission work no longer stalls decoding).
+        Concurrent prepare() calls must be serialized among themselves and
+        with other model-level use (they share the model's jit + KV pool);
+        step() needs no such serialization against prepare(). The returned
+        PreparedRequest holds a pooled KV buffer — pass it to
+        admit_prepared() or release() it."""
         model = self.model
         tok_cfg = model.config.tokenizer
+        temp = self.temperature if temperature is None else temperature
+        topp = self.top_p if top_p is None else top_p
 
         enc = model.encode_image(image)
         kv1 = model.load_encoded_image(enc)
@@ -200,15 +255,40 @@ class ContinuousBatchingEngine:
                 + list(t["suffix"])
             )
         _, _, next_token, pos, kv1 = model._prefill_prompt(
-            kv1, prompt, enc.pos, self.temperature, self.top_p
+            kv1, prompt, enc.pos, temp, topp
         )
+        return PreparedRequest(kv1, next_token, pos, prompt, temp, topp)
+
+    def admit_prepared(
+        self,
+        prep: PreparedRequest,
+        max_tokens: int = DEFAULT_MAX_TOKENS,
+        on_text=None,
+    ) -> int:
+        """Move a PreparedRequest into a free slot (brief — one slot write).
+        Raises RuntimeError when no slot is free; the prep stays valid, so
+        the caller can retry after step() frees a slot."""
+        free = self.free_slots()
+        if not free:
+            raise RuntimeError("no free slot; step() or drain() first")
+        if prep.released:
+            raise ValueError("PreparedRequest was already admitted/released")
+        prep.released = True  # _admit consumes (or recycles) the KV buffer
         return self._admit(
-            kv1, next_token, pos, slot, max_tokens, on_text, prompt
+            prep.kv1, prep.next_token, prep.pos, free[0], max_tokens,
+            on_text, prep.prompt, prep.temperature, prep.top_p,
         )
+
+    def release_prepared(self, prep: PreparedRequest) -> None:
+        """Return an unadmitted PreparedRequest's KV buffer to the model's
+        pool (e.g. the client gave up waiting for a slot)."""
+        if not prep.released:
+            prep.released = True
+            self.model._recycle_kv(prep.kv1)
 
     def _admit(
         self, kv1, next_token, pos, slot, max_tokens, on_text=None,
-        prompt_tokens=None,
+        prompt_tokens=None, temperature=None, top_p=None,
     ) -> int:
         """Snapshot a prefilled request into `slot`. Rejects prompts that
         don't leave room to generate (the slot holds prompt + generated
@@ -248,6 +328,14 @@ class ContinuousBatchingEngine:
             req_id=req_id, tokens=[], active=True,
             on_text=on_text, streamer=streamer,
         )
+        temp = self.temperature if temperature is None else temperature
+        topp = self.top_p if top_p is None else top_p
+        self.temp_row = self.temp_row.at[slot].set(temp)
+        self.topp_row = self.topp_row.at[slot].set(topp)
+        if temp > 0:
+            self._sampling_used = True
+        if temp != self.temperature or topp != self.top_p:
+            self._row_overrides = True
         self.cur = self.cur.at[slot].set(next_token[()])
         self.pos = self.pos.at[slot].set(pos)
         self.active = self.active.at[slot].set(True)
@@ -270,6 +358,8 @@ class ContinuousBatchingEngine:
         caption_length: str = "normal",
         max_tokens: int = DEFAULT_MAX_TOKENS,
         on_text=None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
     ) -> List[int]:
         """Admit a burst of requests with ONE batched image encode
         (`encode_images`) instead of per-request ViT calls. All requests
@@ -292,15 +382,18 @@ class ContinuousBatchingEngine:
                 + list(t["suffix"])
             )
 
+        temp = self.temperature if temperature is None else temperature
+        topp = self.top_p if top_p is None else top_p
         req_ids = []
         for enc, slot in zip(encs, free):
             kv1 = model.load_encoded_image(enc)
             _, _, next_token, pos, kv1 = model._prefill_prompt(
-                kv1, prompt, enc.pos, self.temperature, self.top_p
+                kv1, prompt, enc.pos, temp, topp
             )
             req_ids.append(
                 self._admit(
-                    kv1, next_token, pos, slot, max_tokens, on_text, prompt
+                    kv1, next_token, pos, slot, max_tokens, on_text, prompt,
+                    temp, topp,
                 )
             )
         return req_ids
@@ -320,12 +413,16 @@ class ContinuousBatchingEngine:
     def _dispatch_chunk(self):
         """Enqueue one fused ragged-decode chunk on the current device
         state (async dispatch — no host sync) and start the token fetch."""
-        if self.spec_k and self.temperature > 0:
+        if self._row_overrides:
+            t_arg, p_arg = self.temp_row, self.topp_row
+        else:
+            t_arg = jnp.float32(self.temperature)
+            p_arg = jnp.float32(self.top_p)
+        if self.spec_k and self._sampling_used:
             res = self._spec_chunk_fn()(
                 self.model.params["text"], self.kv, self.cur, self.pos,
                 self.active, self.budget, self.hist, self.hist_cnt,
-                self.rng, jnp.float32(self.temperature),
-                jnp.float32(self.top_p),
+                self.rng, t_arg, p_arg,
             )
             self.hist, self.hist_cnt, self.rng = res.hist, res.hist_cnt, res.rng
         elif self.spec_k:
@@ -337,8 +434,7 @@ class ContinuousBatchingEngine:
         else:
             res = self._chunk_fn()(
                 self.model.params["text"], self.kv, self.cur, self.pos,
-                self.active, self.budget, self.rng,
-                jnp.float32(self.temperature), jnp.float32(self.top_p),
+                self.active, self.budget, self.rng, t_arg, p_arg,
             )
             self.rng = res.rng
         self.kv = res.kv

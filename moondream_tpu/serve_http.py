@@ -66,7 +66,11 @@ class ServingFrontend:
             # device compute; costs one chunk of streaming latency
             pipeline_depth=2,
         )
-        self._lock = threading.Lock()  # engine admission + model jit cache
+        self._lock = threading.Lock()  # pool state: step / admit / results
+        # model-level work (encode+prefill of admissions, detect/point):
+        # serialized among themselves but NOT against the pool stepper —
+        # a request being encoded no longer stalls everyone else's decode
+        self._model_lock = threading.Lock()
         self._done: Dict[int, threading.Event] = {}
         self._wake = threading.Event()
         self._stop = False
@@ -90,20 +94,29 @@ class ServingFrontend:
                     ev.set()
 
     def text_request(self, image, question: Optional[str], length: str,
-                     max_tokens: int, timeout_s: float = 300.0) -> str:
+                     max_tokens: int, timeout_s: float = 300.0,
+                     temperature: Optional[float] = None,
+                     top_p: Optional[float] = None) -> str:
         ev = threading.Event()
         deadline = time.monotonic() + timeout_s
+        # expensive part (host crops + ViT + prefill) outside the pool
+        # lock: the stepper keeps advancing everyone else's decode
+        with self._model_lock:
+            prep = self.engine.prepare(
+                image, question=question, caption_length=length,
+                temperature=temperature, top_p=top_p,
+            )
         while True:
             with self._lock:
                 if self.engine.free_slots():
-                    rid = self.engine.submit(
-                        image, question=question, caption_length=length,
-                        max_tokens=max_tokens,
+                    rid = self.engine.admit_prepared(
+                        prep, max_tokens=max_tokens
                     )
                     self._done[rid] = ev
                     self._wake.set()
                     break
             if time.monotonic() > deadline:
+                self.engine.release_prepared(prep)
                 raise TimeoutError("no free slot before timeout")
             time.sleep(0.05)
         if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
@@ -115,7 +128,7 @@ class ServingFrontend:
 
     # ----------------------------------------------------- structured path
     def structured_request(self, kind: str, image, obj: str) -> Any:
-        with self._lock:
+        with self._model_lock:
             fn = self.model.detect if kind == "detect" else self.model.point
             return fn(image, obj)
 
@@ -163,14 +176,20 @@ class _Handler(BaseHTTPRequestHandler):
             payload = json.loads(self.rfile.read(n) or b"{}")
             image = _decode_image(payload)
             max_tokens = int(payload.get("max_tokens", 512))
+            temp = payload.get("temperature")
+            top_p = payload.get("top_p")
+            temp = None if temp is None else float(temp)
+            top_p = None if top_p is None else float(top_p)
             if self.path == "/v1/caption":
                 out = self.frontend.text_request(
-                    image, None, payload.get("length", "normal"), max_tokens
+                    image, None, payload.get("length", "normal"), max_tokens,
+                    temperature=temp, top_p=top_p,
                 )
                 self._json(200, {"caption": out})
             elif self.path == "/v1/query":
                 out = self.frontend.text_request(
-                    image, payload["question"], "normal", max_tokens
+                    image, payload["question"], "normal", max_tokens,
+                    temperature=temp, top_p=top_p,
                 )
                 self._json(200, {"answer": out})
             elif self.path == "/v1/detect":

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# moondream_tpu/__init__.py re-applies JAX_PLATFORMS through jax.config
+# (restoring standard env semantics the axon sitecustomize breaks) — the
+# env var must agree with the config flip below, and it also makes every
+# subprocess a test spawns (CLI smokes) hermetic on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

@@ -125,3 +125,33 @@ def test_error_codes(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/v1/nope", {"image_b64": _image_b64()})
     assert e.value.code == 404
+
+
+def test_slot_timeout_releases_prepared(model):
+    """When no slot frees before the deadline, the prepared request's KV
+    buffer must go back to the model's pool (no leak) and the engine must
+    keep serving later requests."""
+    from moondream_tpu.serve_http import ServingFrontend
+
+    frontend = ServingFrontend(model, n_slots=1, chunk=4)
+    try:
+        rng = np.random.default_rng(7)
+        im = Image.fromarray(
+            rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        )
+        # stop the stepper first so the occupied slot provably never
+        # frees during the timed-out request (no race with fast decode)
+        frontend._stop = True
+        frontend._wake.set()
+        frontend._stepper.join(timeout=30)
+        with frontend._lock:
+            frontend.engine.submit(im, max_tokens=900)
+        pool_before = len(model._kv_pool)
+        with pytest.raises(TimeoutError):
+            frontend.text_request(im, None, "normal", 8, timeout_s=0.05)
+        assert len(model._kv_pool) >= pool_before  # prep buffer returned
+        # the pool itself still works: drain the occupant directly
+        out = frontend.engine.drain()
+        assert len(out) == 1
+    finally:
+        frontend.shutdown()

@@ -199,3 +199,42 @@ def test_pipelined_cancel_and_slot_reuse(model, images):
     out = eng.drain()
     assert out[r1] == _sequential_caption(model, images[1], 6)
     assert r0 in out  # cancelled: text decoded so far (may be empty)
+
+
+def test_prepare_admit_matches_submit(model, images):
+    """prepare()+admit_prepared() (the server's non-blocking admission
+    path) must be byte-identical to submit()."""
+    ref = _sequential_caption(model, images[0], 10)
+    eng = ContinuousBatchingEngine(model, n_slots=2, slot_len=1024, chunk=4)
+    # prepare while another request is mid-decode: stepping between
+    # prepare and admit must not disturb the prepared request
+    other = eng.submit(images[1], max_tokens=12)
+    eng.step()
+    prep = eng.prepare(images[0])
+    eng.step()
+    rid = eng.admit_prepared(prep, max_tokens=10)
+    out = eng.drain()
+    assert out[rid] == ref
+    assert other in out
+
+
+def test_prepare_release_and_double_admit(model, images):
+    eng = ContinuousBatchingEngine(model, n_slots=1, slot_len=1024, chunk=4)
+    pool_before = len(model._kv_pool)
+    prep = eng.prepare(images[0])
+    eng.release_prepared(prep)
+    assert len(model._kv_pool) >= pool_before  # buffer returned
+    eng.release_prepared(prep)  # idempotent
+    with pytest.raises(ValueError):
+        eng.admit_prepared(prep)  # already released
+
+    # no-free-slot: prep stays valid for a later retry
+    r0 = eng.submit(images[1], max_tokens=4)
+    prep2 = eng.prepare(images[0])
+    with pytest.raises(RuntimeError):
+        eng.admit_prepared(prep2)
+    eng.drain()
+    rid = eng.admit_prepared(prep2, max_tokens=6)
+    out = eng.drain()
+    assert out[rid] == _sequential_caption(model, images[0], 6)
+    assert r0 in out

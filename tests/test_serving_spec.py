@@ -107,6 +107,25 @@ def test_spec_accept_rate_and_adaptive_off(model, images):
     assert 0.0 < eng.spec_accept_rate <= 4.0
 
 
+def test_mixed_pool_greedy_request_stays_exact(model, images):
+    """Per-request sampling settings: a greedy request sharing the pool
+    with a sampled one must still emit exactly the sequential greedy
+    output (plain chunks use a per-row where; spec chunks reduce greedy
+    rows to a point mass)."""
+    ref = _plain(model, [images[0]], max_tokens=12)[0]
+    for spec in (0, 4):
+        eng = ContinuousBatchingEngine(
+            model, n_slots=2, slot_len=1024, chunk=3, speculative=spec,
+        )
+        r_greedy = eng.submit(images[0], max_tokens=12)  # pool default: greedy
+        r_sampled = eng.submit(
+            images[1], max_tokens=12, temperature=0.8, top_p=0.9
+        )
+        out = eng.drain()
+        assert out[r_greedy] == ref, spec
+        assert isinstance(out[r_sampled], str)
+
+
 def test_spec_serving_sampled_pool(model, images):
     """Sampled pools (temperature > 0) speculate via per-row rejection
     sampling — requests must complete with budget respected."""
