@@ -139,6 +139,7 @@ class ContinuousBatchingEngine:
 
         self.slots = [_Slot() for _ in range(S)]
         self.results: Dict[int, str] = {}
+        self.token_counts: Dict[int, int] = {}  # per finished request
         self._next_req = 0
         self._jits: Dict[Any, Any] = {}
 
@@ -506,6 +507,7 @@ class ContinuousBatchingEngine:
                 self.results[slot.req_id] = "".join(
                     stream_text(slot.tokens, self.model._decode_tokens)
                 )
+                self.token_counts[slot.req_id] = len(slot.tokens)
                 finished.append(slot.req_id)
         return finished
 
@@ -524,6 +526,7 @@ class ContinuousBatchingEngine:
                 self.results[req_id] = "".join(
                     stream_text(slot.tokens, self.model._decode_tokens)
                 )
+                self.token_counts[req_id] = len(slot.tokens)
                 return True
         return False
 

@@ -9,6 +9,7 @@ Endpoints (JSON in, JSON out; images as base64 in the request body):
   POST /v1/detect    {"image_b64": ..., "object": ...}
   POST /v1/point     {"image_b64": ..., "object": ...}
   GET  /healthz      liveness + slot occupancy
+  GET  /metrics      request counters, latency percentiles, token rates
 
 Text requests stream through the continuous-batching engine: a background
 loop steps the slot pool whenever any request is active, so concurrent
@@ -33,6 +34,122 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 
+class _Metrics:
+    """Cheap cumulative serving metrics: per-endpoint request/error
+    counts, a bounded reservoir of recent latencies for percentiles, and
+    generated-token totals for aggregate throughput."""
+
+    RESERVOIR = 512
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.started = time.monotonic()
+        self.requests: Dict[str, int] = {}
+        self.errors: Dict[str, int] = {}
+        self.latencies: Dict[str, list] = {}
+        self.tokens_out = 0
+
+    def observe(self, endpoint: str, seconds: float, ok: bool,
+                tokens: int = 0):
+        with self._lock:
+            self.requests[endpoint] = self.requests.get(endpoint, 0) + 1
+            if not ok:
+                self.errors[endpoint] = self.errors.get(endpoint, 0) + 1
+            buf = self.latencies.setdefault(endpoint, [])
+            buf.append(seconds)
+            if len(buf) > self.RESERVOIR:
+                del buf[: len(buf) - self.RESERVOIR]
+            self.tokens_out += tokens
+
+    def snapshot(self) -> Dict[str, Any]:
+        with self._lock:
+            up = time.monotonic() - self.started
+            out: Dict[str, Any] = {
+                "uptime_s": round(up, 1),
+                "requests": dict(self.requests),
+                "errors": dict(self.errors),
+                "generated_tokens": self.tokens_out,
+                "tokens_per_sec_lifetime": round(self.tokens_out / up, 2)
+                if up > 0 else 0.0,
+                "latency_ms": {},
+            }
+            for ep, buf in self.latencies.items():
+                if not buf:
+                    continue
+                s = sorted(buf)
+                out["latency_ms"][ep] = {
+                    "p50": round(1000 * s[len(s) // 2], 1),
+                    "p95": round(1000 * s[min(len(s) - 1,
+                                              int(len(s) * 0.95))], 1),
+                    "max": round(1000 * s[-1], 1),
+                    "n": len(s),
+                }
+            return out
+
+
+class _StructuredBatcher:
+    """Coalesces concurrent detect/point requests for the SAME object
+    string into one lockstep batched decode (`detect_batch`/`point_batch`
+    — one fused device program for the whole group instead of N serial
+    single-image passes). Requests wait `window_s` for peers to arrive;
+    the first waiter whose item is still pending becomes the group leader
+    and executes the batch. Different objects (or kinds) never mix —
+    the batched path requires a shared prompt. With trained checkpoints
+    the batched path reproduces the single path exactly (peaked-decoder
+    parity, tests/test_batched.py:86); only random weights see argmax
+    tie flips from batched reduction order."""
+
+    def __init__(self, run_batch, window_s: float = 0.02,
+                 max_batch: int = 8):
+        self._run = run_batch  # fn(kind, [images], obj) -> [results]
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._pending: list = []
+        self.coalesced = 0  # requests served via a >1-image batch
+
+    def request(self, kind: str, image, obj: str,
+                timeout_s: float = 600.0) -> Any:
+        item = {
+            "kind": kind, "obj": obj, "image": image,
+            "ev": threading.Event(), "result": None, "error": None,
+        }
+        with self._lock:
+            self._pending.append(item)
+        if self.window_s > 0:
+            time.sleep(self.window_s)
+        batch = []
+        with self._lock:
+            if any(i is item for i in self._pending):
+                # still unserved: lead a group of everything compatible
+                batch = [
+                    i for i in self._pending
+                    if i["kind"] == kind and i["obj"] == obj
+                ][: self.max_batch]
+                taken = set(map(id, batch))
+                self._pending = [
+                    i for i in self._pending if id(i) not in taken
+                ]
+        if batch:
+            try:
+                results = self._run(kind, [i["image"] for i in batch], obj)
+                for i, r in zip(batch, results):
+                    i["result"] = r
+            except Exception as e:
+                for i in batch:
+                    i["error"] = e
+            if len(batch) > 1:
+                with self._lock:
+                    self.coalesced += len(batch)
+            for i in batch:
+                i["ev"].set()
+        if not item["ev"].wait(timeout=timeout_s):
+            raise TimeoutError("structured request timed out")
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+
 def _decode_image(payload: Dict[str, Any]):
     from PIL import Image
 
@@ -54,7 +171,8 @@ class ServingFrontend:
 
     def __init__(self, model, n_slots: int = 8, slot_len: int = 1024,
                  chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0,
-                 speculative: int = 0, spec_adaptive: float = 0.0):
+                 speculative: int = 0, spec_adaptive: float = 0.0,
+                 struct_window_s: float = 0.02):
         from .models.serve import ContinuousBatchingEngine
 
         self.model = model
@@ -72,6 +190,12 @@ class ServingFrontend:
         # a request being encoded no longer stalls everyone else's decode
         self._model_lock = threading.Lock()
         self._done: Dict[int, threading.Event] = {}
+        self.metrics = _Metrics()
+        # concurrent same-object detect/point share one batched decode;
+        # struct_window_s=0 disables coalescing (pure single-image paths)
+        self._batcher = _StructuredBatcher(
+            self._run_structured, window_s=struct_window_s
+        )
         self._wake = threading.Event()
         self._stop = False
         self._stepper = threading.Thread(target=self._step_loop, daemon=True)
@@ -97,6 +221,23 @@ class ServingFrontend:
                      max_tokens: int, timeout_s: float = 300.0,
                      temperature: Optional[float] = None,
                      top_p: Optional[float] = None) -> str:
+        endpoint = "caption" if question is None else "query"
+        t0 = time.monotonic()
+        try:
+            out, n_tokens = self._text_request(
+                image, question, length, max_tokens, timeout_s,
+                temperature, top_p,
+            )
+        except Exception:
+            self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
+            raise
+        self.metrics.observe(
+            endpoint, time.monotonic() - t0, ok=True, tokens=n_tokens
+        )
+        return out
+
+    def _text_request(self, image, question, length, max_tokens, timeout_s,
+                      temperature, top_p):
         ev = threading.Event()
         deadline = time.monotonic() + timeout_s
         # expensive part (host crops + ViT + prefill) outside the pool
@@ -122,15 +263,38 @@ class ServingFrontend:
         if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
             with self._lock:
                 self.engine.cancel(rid)
+                self.engine.results.pop(rid, None)
+                self.engine.token_counts.pop(rid, None)
             raise TimeoutError("generation timed out (partial discarded)")
         with self._lock:
-            return self.engine.results[rid]
+            # pop: the engine's results dict must not grow for the
+            # lifetime of a long-running server
+            out = self.engine.results.pop(rid)
+            return out, self.engine.token_counts.pop(rid, 0)
 
     # ----------------------------------------------------- structured path
-    def structured_request(self, kind: str, image, obj: str) -> Any:
+    def _run_structured(self, kind: str, images, obj: str):
         with self._model_lock:
-            fn = self.model.detect if kind == "detect" else self.model.point
-            return fn(image, obj)
+            if len(images) == 1:
+                fn = (
+                    self.model.detect if kind == "detect" else self.model.point
+                )
+                return [fn(images[0], obj)]
+            fn = (
+                self.model.detect_batch if kind == "detect"
+                else self.model.point_batch
+            )
+            return fn(images, obj)
+
+    def structured_request(self, kind: str, image, obj: str) -> Any:
+        t0 = time.monotonic()
+        try:
+            out = self._batcher.request(kind, image, obj)
+        except Exception:
+            self.metrics.observe(kind, time.monotonic() - t0, ok=False)
+            raise
+        self.metrics.observe(kind, time.monotonic() - t0, ok=True)
+        return out
 
     def occupancy(self) -> Dict[str, Any]:
         with self._lock:
@@ -167,6 +331,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._json(200, {"ok": True, **self.frontend.occupancy()})
+        elif self.path == "/metrics":
+            self._json(
+                200,
+                {**self.frontend.metrics.snapshot(),
+                 **self.frontend.occupancy(),
+                 "structured_coalesced": self.frontend._batcher.coalesced},
+            )
         else:
             self._json(404, {"error": "not found"})
 
@@ -219,12 +390,13 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 n_slots: int = 8, slot_len: int = 1024, chunk: int = 8,
                 temperature: float = 0.0, top_p: float = 0.0,
-                speculative: int = 0, spec_adaptive: float = 0.0):
+                speculative: int = 0, spec_adaptive: float = 0.0,
+                struct_window_s: float = 0.02):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
         temperature=temperature, top_p=top_p, speculative=speculative,
-        spec_adaptive=spec_adaptive,
+        spec_adaptive=spec_adaptive, struct_window_s=struct_window_s,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -255,8 +427,14 @@ def main():
                              "slot-iteration) stays below RATE after "
                              "warm-up; 0 disables the fallback")
     parser.add_argument("--temperature", type=float, default=0.0,
-                        help="pool-wide sampling temperature (0 = greedy)")
+                        help="pool-wide sampling temperature (0 = greedy; "
+                             "requests may override per-call)")
     parser.add_argument("--top-p", type=float, default=0.0)
+    parser.add_argument("--struct-window", type=float, default=0.02,
+                        metavar="S",
+                        help="coalescing window for concurrent same-object "
+                             "detect/point requests (one batched decode "
+                             "per group); 0 disables")
     args = parser.parse_args()
 
     from .finetune import resolve_config
@@ -280,6 +458,7 @@ def main():
         n_slots=args.slots, slot_len=args.slot_len, chunk=args.chunk,
         temperature=args.temperature, top_p=args.top_p,
         speculative=args.spec, spec_adaptive=args.spec_adaptive,
+        struct_window_s=args.struct_window,
     )
     print(f"serving on http://{args.host}:{args.port}")
     try:

@@ -155,3 +155,106 @@ def test_slot_timeout_releases_prepared(model):
         assert len(out) == 1
     finally:
         frontend.shutdown()
+
+
+def test_metrics_endpoint(server):
+    """/metrics exposes request counters, latency percentiles, and token
+    totals after traffic has flowed."""
+    _post(server, "/v1/caption", {"image_b64": _image_b64(9), "max_tokens": 6})
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        m = json.loads(r.read())
+    assert m["requests"].get("caption", 0) >= 1
+    assert m["generated_tokens"] >= 1
+    assert "caption" in m["latency_ms"]
+    assert m["latency_ms"]["caption"]["p50"] > 0
+    assert m["slots"] == 4
+    assert "structured_coalesced" in m
+
+
+def test_concurrent_detect_coalesce(server):
+    """Concurrent same-object detect requests through the live server all
+    complete with valid structure whether or not they landed in one
+    coalescing window; a different-object request sharing the window must
+    not be mixed into the group. (Deterministic grouping mechanics are
+    covered by test_structured_batcher_groups below.)"""
+    results = {}
+
+    def run(i, obj):
+        _, body = _post(
+            server, "/v1/detect", {"image_b64": _image_b64(20 + i), "object": obj}
+        )
+        results[i] = body
+
+    # warm the detect paths first so coalescing isn't defeated by compile
+    run(99, "x")
+    threads = [threading.Thread(target=run, args=(i, "x")) for i in range(3)]
+    threads.append(threading.Thread(target=run, args=(3, "other")))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert set(results) >= {0, 1, 2, 3}
+    for i in range(4):
+        assert "objects" in results[i]
+
+
+def test_structured_batcher_groups():
+    """_StructuredBatcher mechanics with a fake runner: same-(kind, object)
+    requests inside the window share one batch; different objects never
+    mix; errors propagate to every member of the failed group."""
+    import time as _time
+
+    from moondream_tpu.serve_http import _StructuredBatcher
+
+    calls = []
+
+    def run_batch(kind, images, obj):
+        calls.append((kind, list(images), obj))
+        if obj == "boom":
+            raise RuntimeError("model failed")
+        return [f"{kind}:{obj}:{im}" for im in images]
+
+    b = _StructuredBatcher(run_batch, window_s=0.25, max_batch=8)
+    results = {}
+
+    def req(i, kind, obj):
+        try:
+            results[i] = b.request(kind, f"img{i}", obj)
+        except RuntimeError as e:
+            results[i] = e
+
+    threads = [
+        threading.Thread(target=req, args=(0, "detect", "x")),
+        threading.Thread(target=req, args=(1, "detect", "x")),
+        threading.Thread(target=req, args=(2, "detect", "y")),
+        threading.Thread(target=req, args=(3, "point", "x")),
+    ]
+    for t in threads:
+        t.start()
+        _time.sleep(0.02)  # all start well inside the 0.25s window
+    for t in threads:
+        t.join(timeout=30)
+
+    assert results[0] == "detect:x:img0"
+    assert results[1] == "detect:x:img1"
+    assert results[2] == "detect:y:img2"
+    assert results[3] == "point:x:img3"
+    # the two detect:x requests shared one batch; y and point:x did not
+    sizes = {(k, o): len(ims) for k, ims, o in calls}
+    assert sizes[("detect", "x")] == 2
+    assert sizes[("detect", "y")] == 1
+    assert sizes[("point", "x")] == 1
+    assert b.coalesced == 2
+
+    # error propagation: both members of a failed group see the error
+    threads = [
+        threading.Thread(target=req, args=(10, "detect", "boom")),
+        threading.Thread(target=req, args=(11, "detect", "boom")),
+    ]
+    for t in threads:
+        t.start()
+        _time.sleep(0.02)
+    for t in threads:
+        t.join(timeout=30)
+    assert isinstance(results[10], RuntimeError)
+    assert isinstance(results[11], RuntimeError)
