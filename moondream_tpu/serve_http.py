@@ -6,6 +6,8 @@ Endpoints (JSON in, JSON out; images as base64 in the request body):
 
   POST /v1/caption   {"image_b64": ..., "length": "normal", "max_tokens": N}
   POST /v1/query     {"image_b64": ..., "question": ..., "max_tokens": N}
+    both accept "temperature"/"top_p" (per-request sampling) and
+    "stream": true (server-sent events: data: {"chunk": ...} ... [DONE])
   POST /v1/detect    {"image_b64": ..., "object": ...}
   POST /v1/point     {"image_b64": ..., "object": ...}
   GET  /healthz      liveness + slot occupancy
@@ -236,12 +238,12 @@ class ServingFrontend:
         )
         return out
 
-    def _text_request(self, image, question, length, max_tokens, timeout_s,
-                      temperature, top_p):
-        ev = threading.Event()
-        deadline = time.monotonic() + timeout_s
-        # expensive part (host crops + ViT + prefill) outside the pool
-        # lock: the stepper keeps advancing everyone else's decode
+    def _prepare_and_admit(self, image, question, length, max_tokens,
+                           deadline, ev, temperature, top_p, on_text=None):
+        """Shared admission: encode+prefill outside the pool lock (the
+        stepper keeps advancing everyone else's decode), then spin briefly
+        for a free slot. Returns the req_id; raises TimeoutError past the
+        deadline (releasing the prepared KV buffer)."""
         with self._model_lock:
             prep = self.engine.prepare(
                 image, question=question, caption_length=length,
@@ -251,26 +253,93 @@ class ServingFrontend:
             with self._lock:
                 if self.engine.free_slots():
                     rid = self.engine.admit_prepared(
-                        prep, max_tokens=max_tokens
+                        prep, max_tokens=max_tokens, on_text=on_text
                     )
                     self._done[rid] = ev
                     self._wake.set()
-                    break
+                    return rid
             if time.monotonic() > deadline:
                 self.engine.release_prepared(prep)
                 raise TimeoutError("no free slot before timeout")
             time.sleep(0.05)
-        if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
-            with self._lock:
-                self.engine.cancel(rid)
-                self.engine.results.pop(rid, None)
-                self.engine.token_counts.pop(rid, None)
-            raise TimeoutError("generation timed out (partial discarded)")
+
+    def _pop_result(self, rid):
+        """Fetch + forget a finished request (the engine's results dict
+        must not grow for the lifetime of a long-running server)."""
         with self._lock:
-            # pop: the engine's results dict must not grow for the
-            # lifetime of a long-running server
-            out = self.engine.results.pop(rid)
+            out = self.engine.results.pop(rid, "")
             return out, self.engine.token_counts.pop(rid, 0)
+
+    def _abandon(self, rid):
+        with self._lock:
+            self.engine.cancel(rid)
+            self.engine.results.pop(rid, None)
+            self.engine.token_counts.pop(rid, None)
+        self._done.pop(rid, None)
+
+    def _text_request(self, image, question, length, max_tokens, timeout_s,
+                      temperature, top_p):
+        ev = threading.Event()
+        deadline = time.monotonic() + timeout_s
+        rid = self._prepare_and_admit(
+            image, question, length, max_tokens, deadline, ev,
+            temperature, top_p,
+        )
+        if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
+            self._abandon(rid)
+            raise TimeoutError("generation timed out (partial discarded)")
+        return self._pop_result(rid)
+
+    def text_request_stream(self, image, question: Optional[str],
+                            length: str, max_tokens: int,
+                            timeout_s: float = 300.0,
+                            temperature: Optional[float] = None,
+                            top_p: Optional[float] = None):
+        """Generator of word-boundary-safe text chunks for one request
+        (the engine's per-request on_text callback bridged through a
+        queue). Concatenated chunks equal the non-streaming result.
+        Closing the generator early (client disconnect) cancels the
+        request and frees its slot."""
+        import queue as _queue
+
+        endpoint = ("caption" if question is None else "query") + "_stream"
+        t0 = time.monotonic()
+        deadline = t0 + timeout_s
+        ev = threading.Event()
+        q: _queue.Queue = _queue.Queue()
+        try:
+            rid = self._prepare_and_admit(
+                image, question, length, max_tokens, deadline, ev,
+                temperature, top_p,
+                on_text=lambda _rid, chunk: q.put(chunk),
+            )
+        except Exception:
+            self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
+            raise
+        try:
+            # chunks are enqueued inside step() BEFORE the stepper sets
+            # ev, so "ev set and queue empty" can't drop a tail chunk
+            while not (ev.is_set() and q.empty()):
+                try:
+                    yield q.get(timeout=0.05)
+                except _queue.Empty:
+                    if time.monotonic() > deadline:
+                        self._abandon(rid)
+                        self.metrics.observe(
+                            endpoint, time.monotonic() - t0, ok=False
+                        )
+                        raise TimeoutError(
+                            "generation timed out (partial discarded)"
+                        )
+            _, n_tokens = self._pop_result(rid)
+            self.metrics.observe(
+                endpoint, time.monotonic() - t0, ok=True, tokens=n_tokens
+            )
+        except GeneratorExit:
+            # consumer went away mid-stream: free the slot immediately
+            self._abandon(rid)
+            self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
+            raise
 
     # ----------------------------------------------------- structured path
     def _run_structured(self, kind: str, images, obj: str):
@@ -328,6 +397,40 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _stream_sse(self, image, question, length, max_tokens, temp, top_p):
+        """`"stream": true` responses: text/event-stream of
+        `data: {"chunk": ...}` events, terminated by `data: [DONE]`.
+        The first chunk is pulled BEFORE headers go out so admission
+        errors (bad prompt, no slot) still return proper status codes."""
+        gen = self.frontend.text_request_stream(
+            image, question, length, max_tokens,
+            temperature=temp, top_p=top_p,
+        )
+        it = iter(gen)
+        try:
+            first = next(it)
+        except StopIteration:
+            first = None
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        try:
+            if first is not None:
+                self.wfile.write(
+                    f"data: {json.dumps({'chunk': first})}\n\n".encode()
+                )
+                self.wfile.flush()
+            for chunk in it:
+                self.wfile.write(
+                    f"data: {json.dumps({'chunk': chunk})}\n\n".encode()
+                )
+                self.wfile.flush()
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            gen.close()  # GeneratorExit inside -> cancel + free the slot
+
     def do_GET(self):
         if self.path == "/healthz":
             self._json(200, {"ok": True, **self.frontend.occupancy()})
@@ -351,13 +454,26 @@ class _Handler(BaseHTTPRequestHandler):
             top_p = payload.get("top_p")
             temp = None if temp is None else float(temp)
             top_p = None if top_p is None else float(top_p)
+            stream = bool(payload.get("stream"))
             if self.path == "/v1/caption":
+                if stream:
+                    self._stream_sse(
+                        image, None, payload.get("length", "normal"),
+                        max_tokens, temp, top_p,
+                    )
+                    return
                 out = self.frontend.text_request(
                     image, None, payload.get("length", "normal"), max_tokens,
                     temperature=temp, top_p=top_p,
                 )
                 self._json(200, {"caption": out})
             elif self.path == "/v1/query":
+                if stream:
+                    self._stream_sse(
+                        image, payload["question"], "normal",
+                        max_tokens, temp, top_p,
+                    )
+                    return
                 out = self.frontend.text_request(
                     image, payload["question"], "normal", max_tokens,
                     temperature=temp, top_p=top_p,

@@ -258,3 +258,50 @@ def test_structured_batcher_groups():
         t.join(timeout=30)
     assert isinstance(results[10], RuntimeError)
     assert isinstance(results[11], RuntimeError)
+
+
+def _read_sse(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers.get("Content-Type") == "text/event-stream"
+        raw = r.read().decode()
+    events = [
+        line[len("data: "):]
+        for line in raw.split("\n")
+        if line.startswith("data: ")
+    ]
+    assert events and events[-1] == "[DONE]"
+    return [json.loads(e)["chunk"] for e in events[:-1]]
+
+
+def test_streaming_caption_matches_nonstream(server):
+    """SSE streaming: concatenated chunks equal the non-streaming result
+    for the same image (greedy pool -> deterministic), and the slot is
+    freed afterwards."""
+    b64 = _image_b64(31)
+    _, plain = _post(
+        server, "/v1/caption", {"image_b64": b64, "max_tokens": 10}
+    )
+    chunks = _read_sse(
+        server, "/v1/caption",
+        {"image_b64": b64, "max_tokens": 10, "stream": True},
+    )
+    assert "".join(chunks) == plain["caption"]
+
+    chunks = _read_sse(
+        server, "/v1/query",
+        {"image_b64": b64, "question": "What?", "max_tokens": 8,
+         "stream": True},
+    )
+    _, plainq = _post(
+        server, "/v1/query",
+        {"image_b64": b64, "question": "What?", "max_tokens": 8},
+    )
+    assert "".join(chunks) == plainq["answer"]
+
+    with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["free"] == h["slots"]  # nothing leaked a slot
