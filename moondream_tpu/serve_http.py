@@ -28,10 +28,12 @@ from __future__ import annotations
 
 import argparse
 import base64
+import hashlib
 import io
 import json
 import threading
 import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
@@ -153,12 +155,15 @@ class _StructuredBatcher:
 
 
 def _decode_image(payload: Dict[str, Any]):
+    """Returns (PIL image, content key) — the key addresses the server's
+    optional EncodedImage cache."""
     from PIL import Image
 
     if "image_b64" not in payload:
         raise ValueError("missing 'image_b64'")
     raw = base64.b64decode(payload["image_b64"])
-    return Image.open(io.BytesIO(raw)).convert("RGB")
+    key = hashlib.sha256(raw).hexdigest()
+    return Image.open(io.BytesIO(raw)).convert("RGB"), key
 
 
 class ServingFrontend:
@@ -174,7 +179,7 @@ class ServingFrontend:
     def __init__(self, model, n_slots: int = 8, slot_len: int = 1024,
                  chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0,
                  speculative: int = 0, spec_adaptive: float = 0.0,
-                 struct_window_s: float = 0.02):
+                 struct_window_s: float = 0.02, encode_cache: int = 0):
         from .models.serve import ContinuousBatchingEngine
 
         self.model = model
@@ -198,10 +203,35 @@ class ServingFrontend:
         self._batcher = _StructuredBatcher(
             self._run_structured, window_s=struct_window_s
         )
+        # content-addressed EncodedImage LRU: repeat images (video frames,
+        # retried requests) skip host crops + ViT + image prefill entirely.
+        # Each entry pins a [BOS, image]-prefill KV snapshot in device
+        # memory (~150 MB at 2B bf16), so the default is OFF; size it to
+        # the working set when enabling (--encode-cache N).
+        self.encode_cache = int(encode_cache)
+        self._enc_cache: "OrderedDict[str, Any]" = OrderedDict()
+        self.encode_cache_hits = 0
         self._wake = threading.Event()
         self._stop = False
         self._stepper = threading.Thread(target=self._step_loop, daemon=True)
         self._stepper.start()
+
+    def _resolve_image(self, image, key: Optional[str]):
+        """Swap `image` for a cached EncodedImage when the content key is
+        known. MUST be called with _model_lock held (encoding uses the
+        model's jit + KV pool)."""
+        if not self.encode_cache or key is None:
+            return image
+        enc = self._enc_cache.get(key)
+        if enc is not None:
+            self._enc_cache.move_to_end(key)
+            self.encode_cache_hits += 1
+            return enc
+        enc = self.engine.model.encode_image(image)
+        self._enc_cache[key] = enc
+        while len(self._enc_cache) > self.encode_cache:
+            self._enc_cache.popitem(last=False)
+        return enc
 
     # ----------------------------------------------------------- text pool
     def _step_loop(self):
@@ -222,13 +252,14 @@ class ServingFrontend:
     def text_request(self, image, question: Optional[str], length: str,
                      max_tokens: int, timeout_s: float = 300.0,
                      temperature: Optional[float] = None,
-                     top_p: Optional[float] = None) -> str:
+                     top_p: Optional[float] = None,
+                     image_key: Optional[str] = None) -> str:
         endpoint = "caption" if question is None else "query"
         t0 = time.monotonic()
         try:
             out, n_tokens = self._text_request(
                 image, question, length, max_tokens, timeout_s,
-                temperature, top_p,
+                temperature, top_p, image_key,
             )
         except Exception:
             self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
@@ -239,12 +270,14 @@ class ServingFrontend:
         return out
 
     def _prepare_and_admit(self, image, question, length, max_tokens,
-                           deadline, ev, temperature, top_p, on_text=None):
+                           deadline, ev, temperature, top_p, on_text=None,
+                           image_key=None):
         """Shared admission: encode+prefill outside the pool lock (the
         stepper keeps advancing everyone else's decode), then spin briefly
         for a free slot. Returns the req_id; raises TimeoutError past the
         deadline (releasing the prepared KV buffer)."""
         with self._model_lock:
+            image = self._resolve_image(image, image_key)
             prep = self.engine.prepare(
                 image, question=question, caption_length=length,
                 temperature=temperature, top_p=top_p,
@@ -278,12 +311,12 @@ class ServingFrontend:
         self._done.pop(rid, None)
 
     def _text_request(self, image, question, length, max_tokens, timeout_s,
-                      temperature, top_p):
+                      temperature, top_p, image_key=None):
         ev = threading.Event()
         deadline = time.monotonic() + timeout_s
         rid = self._prepare_and_admit(
             image, question, length, max_tokens, deadline, ev,
-            temperature, top_p,
+            temperature, top_p, image_key=image_key,
         )
         if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
             self._abandon(rid)
@@ -294,7 +327,8 @@ class ServingFrontend:
                             length: str, max_tokens: int,
                             timeout_s: float = 300.0,
                             temperature: Optional[float] = None,
-                            top_p: Optional[float] = None):
+                            top_p: Optional[float] = None,
+                            image_key: Optional[str] = None):
         """Generator of word-boundary-safe text chunks for one request
         (the engine's per-request on_text callback bridged through a
         queue). Concatenated chunks equal the non-streaming result.
@@ -312,6 +346,7 @@ class ServingFrontend:
                 image, question, length, max_tokens, deadline, ev,
                 temperature, top_p,
                 on_text=lambda _rid, chunk: q.put(chunk),
+                image_key=image_key,
             )
         except Exception:
             self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
@@ -355,9 +390,13 @@ class ServingFrontend:
             )
             return fn(images, obj)
 
-    def structured_request(self, kind: str, image, obj: str) -> Any:
+    def structured_request(self, kind: str, image, obj: str,
+                           image_key: Optional[str] = None) -> Any:
         t0 = time.monotonic()
         try:
+            if self.encode_cache and image_key is not None:
+                with self._model_lock:
+                    image = self._resolve_image(image, image_key)
             out = self._batcher.request(kind, image, obj)
         except Exception:
             self.metrics.observe(kind, time.monotonic() - t0, ok=False)
@@ -397,14 +436,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _stream_sse(self, image, question, length, max_tokens, temp, top_p):
+    def _stream_sse(self, image, question, length, max_tokens, temp,
+                    top_p, image_key=None):
         """`"stream": true` responses: text/event-stream of
         `data: {"chunk": ...}` events, terminated by `data: [DONE]`.
         The first chunk is pulled BEFORE headers go out so admission
         errors (bad prompt, no slot) still return proper status codes."""
         gen = self.frontend.text_request_stream(
             image, question, length, max_tokens,
-            temperature=temp, top_p=top_p,
+            temperature=temp, top_p=top_p, image_key=image_key,
         )
         it = iter(gen)
         try:
@@ -439,7 +479,9 @@ class _Handler(BaseHTTPRequestHandler):
                 200,
                 {**self.frontend.metrics.snapshot(),
                  **self.frontend.occupancy(),
-                 "structured_coalesced": self.frontend._batcher.coalesced},
+                 "structured_coalesced": self.frontend._batcher.coalesced,
+                 "encode_cache_hits": self.frontend.encode_cache_hits,
+                 "encode_cache_entries": len(self.frontend._enc_cache)},
             )
         else:
             self._json(404, {"error": "not found"})
@@ -448,7 +490,7 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")
-            image = _decode_image(payload)
+            image, image_key = _decode_image(payload)
             max_tokens = int(payload.get("max_tokens", 512))
             temp = payload.get("temperature")
             top_p = payload.get("top_p")
@@ -459,38 +501,40 @@ class _Handler(BaseHTTPRequestHandler):
                 if stream:
                     self._stream_sse(
                         image, None, payload.get("length", "normal"),
-                        max_tokens, temp, top_p,
+                        max_tokens, temp, top_p, image_key,
                     )
                     return
                 out = self.frontend.text_request(
                     image, None, payload.get("length", "normal"), max_tokens,
-                    temperature=temp, top_p=top_p,
+                    temperature=temp, top_p=top_p, image_key=image_key,
                 )
                 self._json(200, {"caption": out})
             elif self.path == "/v1/query":
                 if stream:
                     self._stream_sse(
                         image, payload["question"], "normal",
-                        max_tokens, temp, top_p,
+                        max_tokens, temp, top_p, image_key,
                     )
                     return
                 out = self.frontend.text_request(
                     image, payload["question"], "normal", max_tokens,
-                    temperature=temp, top_p=top_p,
+                    temperature=temp, top_p=top_p, image_key=image_key,
                 )
                 self._json(200, {"answer": out})
             elif self.path == "/v1/detect":
                 self._json(
                     200,
                     self.frontend.structured_request(
-                        "detect", image, payload["object"]
+                        "detect", image, payload["object"],
+                        image_key=image_key,
                     ),
                 )
             elif self.path == "/v1/point":
                 self._json(
                     200,
                     self.frontend.structured_request(
-                        "point", image, payload["object"]
+                        "point", image, payload["object"],
+                        image_key=image_key,
                     ),
                 )
             else:
@@ -507,12 +551,13 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 n_slots: int = 8, slot_len: int = 1024, chunk: int = 8,
                 temperature: float = 0.0, top_p: float = 0.0,
                 speculative: int = 0, spec_adaptive: float = 0.0,
-                struct_window_s: float = 0.02):
+                struct_window_s: float = 0.02, encode_cache: int = 0):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
         temperature=temperature, top_p=top_p, speculative=speculative,
         spec_adaptive=spec_adaptive, struct_window_s=struct_window_s,
+        encode_cache=encode_cache,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -546,6 +591,12 @@ def main():
                         help="pool-wide sampling temperature (0 = greedy; "
                              "requests may override per-call)")
     parser.add_argument("--top-p", type=float, default=0.0)
+    parser.add_argument("--encode-cache", type=int, default=0, metavar="N",
+                        help="LRU-cache the N most recent images' encodes "
+                             "(content-addressed): repeat images skip "
+                             "crops+ViT+prefill. Each entry pins an image "
+                             "KV snapshot in device memory (~150MB at 2B "
+                             "bf16); 0 disables")
     parser.add_argument("--struct-window", type=float, default=0.02,
                         metavar="S",
                         help="coalescing window for concurrent same-object "
@@ -574,7 +625,7 @@ def main():
         n_slots=args.slots, slot_len=args.slot_len, chunk=args.chunk,
         temperature=args.temperature, top_p=args.top_p,
         speculative=args.spec, spec_adaptive=args.spec_adaptive,
-        struct_window_s=args.struct_window,
+        struct_window_s=args.struct_window, encode_cache=args.encode_cache,
     )
     print(f"serving on http://{args.host}:{args.port}")
     try:

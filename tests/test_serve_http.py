@@ -305,3 +305,39 @@ def test_streaming_caption_matches_nonstream(server):
     with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
         h = json.loads(r.read())
     assert h["free"] == h["slots"]  # nothing leaked a slot
+
+
+def test_encode_cache(model):
+    """With encode_cache on, a repeated image serves from the cached
+    EncodedImage (hit counter advances, result identical); the LRU evicts
+    beyond capacity."""
+    import urllib.request as _url
+
+    srv, frontend = make_server(
+        model, "127.0.0.1", 0, n_slots=2, chunk=4, encode_cache=2
+    )
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        b64 = _image_b64(50)
+        _, first = _post(base, "/v1/caption", {"image_b64": b64, "max_tokens": 8})
+        assert frontend.encode_cache_hits == 0
+        _, again = _post(base, "/v1/caption", {"image_b64": b64, "max_tokens": 8})
+        assert again == first  # cached encode -> identical output
+        assert frontend.encode_cache_hits == 1
+        # structured path shares the cache
+        _post(base, "/v1/detect", {"image_b64": b64, "object": "x"})
+        assert frontend.encode_cache_hits == 2
+        # LRU capacity 2: two new images evict the oldest
+        _post(base, "/v1/caption", {"image_b64": _image_b64(51), "max_tokens": 4})
+        _post(base, "/v1/caption", {"image_b64": _image_b64(52), "max_tokens": 4})
+        assert len(frontend._enc_cache) == 2
+        with _url.urlopen(base + "/metrics", timeout=60) as r:
+            m = json.loads(r.read())
+        assert m["encode_cache_hits"] == 2
+        assert m["encode_cache_entries"] == 2
+    finally:
+        srv.shutdown()
+        frontend.shutdown()
