@@ -179,7 +179,8 @@ class ServingFrontend:
     def __init__(self, model, n_slots: int = 8, slot_len: int = 1024,
                  chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0,
                  speculative: int = 0, spec_adaptive: float = 0.0,
-                 struct_window_s: float = 0.02, encode_cache: int = 0):
+                 struct_window_s: float = 0.02, encode_cache: int = 0,
+                 encode_window_s: float = 0.0):
         from .models.serve import ContinuousBatchingEngine
 
         self.model = model
@@ -210,27 +211,64 @@ class ServingFrontend:
         # the working set when enabling (--encode-cache N).
         self.encode_cache = int(encode_cache)
         self._enc_cache: "OrderedDict[str, Any]" = OrderedDict()
+        self._cache_lock = threading.Lock()
         self.encode_cache_hits = 0
+        # batched admissions (opt-in): concurrent text/structured arrivals
+        # within the window share ONE encode_images ViT pass. Off by
+        # default because the batched ViT is allclose-but-not-bit-identical
+        # to the single path (reduction order), so near-tie greedy tokens
+        # can differ from a lone request's (tests/test_batched.py:29-46)
+        self.encode_window_s = float(encode_window_s)
+        self._enc_batcher = _StructuredBatcher(
+            self._run_encode, window_s=self.encode_window_s
+        ) if self.encode_window_s > 0 else None
         self._wake = threading.Event()
         self._stop = False
         self._stepper = threading.Thread(target=self._step_loop, daemon=True)
         self._stepper.start()
 
-    def _resolve_image(self, image, key: Optional[str]):
-        """Swap `image` for a cached EncodedImage when the content key is
-        known. MUST be called with _model_lock held (encoding uses the
-        model's jit + KV pool)."""
+    def _cache_get(self, key: Optional[str]):
         if not self.encode_cache or key is None:
-            return image
-        enc = self._enc_cache.get(key)
-        if enc is not None:
-            self._enc_cache.move_to_end(key)
-            self.encode_cache_hits += 1
+            return None
+        with self._cache_lock:
+            enc = self._enc_cache.get(key)
+            if enc is not None:
+                self._enc_cache.move_to_end(key)
+                self.encode_cache_hits += 1
             return enc
-        enc = self.engine.model.encode_image(image)
-        self._enc_cache[key] = enc
-        while len(self._enc_cache) > self.encode_cache:
-            self._enc_cache.popitem(last=False)
+
+    def _cache_put(self, key: Optional[str], enc) -> None:
+        if not self.encode_cache or key is None:
+            return
+        with self._cache_lock:
+            self._enc_cache[key] = enc
+            while len(self._enc_cache) > self.encode_cache:
+                self._enc_cache.popitem(last=False)
+
+    def _run_encode(self, kind, images, obj):
+        with self._model_lock:
+            return self.engine.model.encode_images(list(images))
+
+    def _resolve_image(self, image, key: Optional[str]):
+        """Get an EncodedImage for `image`: content cache first, then the
+        (optional) shared-window batched encode, else a single encode.
+        When neither cache nor batching is configured and no key is known,
+        the raw image passes through (the downstream path encodes it)."""
+        from .models.moondream import EncodedImage
+
+        if isinstance(image, EncodedImage):
+            return image
+        enc = self._cache_get(key)
+        if enc is not None:
+            return enc
+        if self._enc_batcher is not None:
+            enc = self._enc_batcher.request("encode", image, "")
+        elif self.encode_cache and key is not None:
+            with self._model_lock:
+                enc = self.engine.model.encode_image(image)
+        else:
+            return image
+        self._cache_put(key, enc)
         return enc
 
     # ----------------------------------------------------------- text pool
@@ -276,8 +314,8 @@ class ServingFrontend:
         stepper keeps advancing everyone else's decode), then spin briefly
         for a free slot. Returns the req_id; raises TimeoutError past the
         deadline (releasing the prepared KV buffer)."""
+        image = self._resolve_image(image, image_key)
         with self._model_lock:
-            image = self._resolve_image(image, image_key)
             prep = self.engine.prepare(
                 image, question=question, caption_length=length,
                 temperature=temperature, top_p=top_p,
@@ -394,9 +432,7 @@ class ServingFrontend:
                            image_key: Optional[str] = None) -> Any:
         t0 = time.monotonic()
         try:
-            if self.encode_cache and image_key is not None:
-                with self._model_lock:
-                    image = self._resolve_image(image, image_key)
+            image = self._resolve_image(image, image_key)
             out = self._batcher.request(kind, image, obj)
         except Exception:
             self.metrics.observe(kind, time.monotonic() - t0, ok=False)
@@ -551,13 +587,14 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 n_slots: int = 8, slot_len: int = 1024, chunk: int = 8,
                 temperature: float = 0.0, top_p: float = 0.0,
                 speculative: int = 0, spec_adaptive: float = 0.0,
-                struct_window_s: float = 0.02, encode_cache: int = 0):
+                struct_window_s: float = 0.02, encode_cache: int = 0,
+                encode_window_s: float = 0.0):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
         temperature=temperature, top_p=top_p, speculative=speculative,
         spec_adaptive=spec_adaptive, struct_window_s=struct_window_s,
-        encode_cache=encode_cache,
+        encode_cache=encode_cache, encode_window_s=encode_window_s,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -597,6 +634,13 @@ def main():
                              "crops+ViT+prefill. Each entry pins an image "
                              "KV snapshot in device memory (~150MB at 2B "
                              "bf16); 0 disables")
+    parser.add_argument("--encode-window", type=float, default=0.0,
+                        metavar="S",
+                        help="coalesce concurrent admissions' image encodes "
+                             "into one batched ViT pass (arrival window in "
+                             "seconds). Off by default: the batched ViT is "
+                             "allclose-but-not-bit-identical to the single "
+                             "path, so near-tie greedy tokens can differ")
     parser.add_argument("--struct-window", type=float, default=0.02,
                         metavar="S",
                         help="coalescing window for concurrent same-object "
@@ -626,6 +670,7 @@ def main():
         temperature=args.temperature, top_p=args.top_p,
         speculative=args.spec, spec_adaptive=args.spec_adaptive,
         struct_window_s=args.struct_window, encode_cache=args.encode_cache,
+        encode_window_s=args.encode_window,
     )
     print(f"serving on http://{args.host}:{args.port}")
     try:

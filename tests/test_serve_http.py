@@ -341,3 +341,36 @@ def test_encode_cache(model):
     finally:
         srv.shutdown()
         frontend.shutdown()
+
+
+def test_encode_window_batches_admissions(model):
+    """Opt-in --encode-window: concurrent admissions share one batched
+    ViT pass (encode_images). All requests complete and the encode
+    batcher records the coalesced group."""
+    srv, frontend = make_server(
+        model, "127.0.0.1", 0, n_slots=4, chunk=4, encode_window_s=0.5
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        results = {}
+
+        def run(i):
+            _, body = _post(
+                base, "/v1/caption",
+                {"image_b64": _image_b64(60 + i), "max_tokens": 6},
+            )
+            results[i] = body["caption"]
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {0, 1, 2}
+        assert all(isinstance(v, str) for v in results.values())
+        assert frontend._enc_batcher.coalesced >= 2
+    finally:
+        srv.shutdown()
+        frontend.shutdown()
