@@ -20,6 +20,7 @@ TPU-native architecture (not a port):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, Literal, Optional, Tuple
@@ -126,8 +127,11 @@ class MoondreamModel:
         # a 400MB zero-fill (~33ms); donating a finished generation's buffer
         # back into the next load makes cache restore cost only the snapshot
         # write. Stale tail slots are never attended before being
-        # overwritten (same invariant as prompt padding).
+        # overwritten (same invariant as prompt padding). The pool has its
+        # own lock: servers recycle from pool-stepper threads while other
+        # threads take buffers, and the bounded-append check must be atomic.
         self._kv_pool: Dict[int, List[KVCache]] = {}
+        self._kv_pool_lock = threading.Lock()
 
     # ------------------------------------------------------------------ rng
     def _next_rng(self) -> jax.Array:
@@ -367,22 +371,26 @@ class MoondreamModel:
 
     def _take_kv_buffer(self, batch: int = 1, slots: Optional[int] = None) -> KVCache:
         key = (batch, slots or self.config.text.max_context)
-        pool = self._kv_pool.get(key)
-        if pool:
-            return pool.pop()
+        with self._kv_pool_lock:
+            pool = self._kv_pool.get(key)
+            if pool:
+                return pool.pop()
         return KVCache.create(
             self.config.text, batch=batch, dtype=self.dtype, slots=slots
         )
 
     def _recycle_kv(self, kv: Optional[KVCache], batch: int = 1) -> None:
         """Return a finished generation's cache buffer to the pool. The
-        caller must drop its own references (the buffer will be donated)."""
+        caller must drop its own references (the buffer will be donated).
+        Thread-safe: servers recycle from threads that don't hold the
+        model-level serialization lock."""
         if kv is None:
             return
         key = (batch, int(kv.k.shape[3]))
-        pool = self._kv_pool.setdefault(key, [])
-        if len(pool) < 2:
-            pool.append(kv)
+        with self._kv_pool_lock:
+            pool = self._kv_pool.setdefault(key, [])
+            if len(pool) < 2:
+                pool.append(kv)
 
     def _sample_fn(self):
         return self._jit("sample", lambda: jax.jit(sample_token))

@@ -32,6 +32,10 @@ from ..models.text import KVCache
 from ..utils.streaming import stream_text
 
 DEFAULT_MAX_TOKENS = 512
+# Finished-request history kept in results/token_counts for direct engine
+# users (drain() et al). Long-lived consumers that never pop (the HTTP
+# frontend pops per request) stay bounded: oldest entries evicted past this.
+RESULTS_CAP = 10_000
 
 
 @dataclass
@@ -509,7 +513,14 @@ class ContinuousBatchingEngine:
                 )
                 self.token_counts[slot.req_id] = len(slot.tokens)
                 finished.append(slot.req_id)
+        self._trim_history()
         return finished
+
+    def _trim_history(self) -> None:
+        while len(self.results) > RESULTS_CAP:
+            self.results.pop(next(iter(self.results)))
+        while len(self.token_counts) > RESULTS_CAP:
+            self.token_counts.pop(next(iter(self.token_counts)))
 
     def cancel(self, req_id: int) -> bool:
         """Cancel an in-flight request: frees its slot immediately and
@@ -527,6 +538,7 @@ class ContinuousBatchingEngine:
                     stream_text(slot.tokens, self.model._decode_tokens)
                 )
                 self.token_counts[req_id] = len(slot.tokens)
+                self._trim_history()
                 return True
         return False
 

@@ -154,6 +154,14 @@ class _StructuredBatcher:
         return item["result"]
 
 
+def _parse_bool(v) -> bool:
+    """JSON bool or its common string forms ("true"/"false"); clients that
+    serialize booleans as strings must not silently enable streaming."""
+    if isinstance(v, str):
+        return v.strip().lower() in ("1", "true", "yes", "on")
+    return bool(v)
+
+
 def _decode_image(payload: Dict[str, Any]):
     """Returns (PIL image, content key) — the key addresses the server's
     optional EncodedImage cache."""
@@ -223,6 +231,12 @@ class ServingFrontend:
             self._run_encode, window_s=self.encode_window_s
         ) if self.encode_window_s > 0 else None
         self._wake = threading.Event()
+        # admission backpressure: each request between prepare() and
+        # admit_prepared() pins a full single-row KV buffer on device
+        # (~400MB at 2B), so at most 2 may be in that window; further
+        # arrivals block here holding NO device memory
+        self._admission_sem = threading.BoundedSemaphore(2)
+        self._slot_freed = threading.Event()  # stepper signals admitters
         self._stop = False
         self._stepper = threading.Thread(target=self._step_loop, daemon=True)
         self._stepper.start()
@@ -282,6 +296,8 @@ class ServingFrontend:
                 if not (any(s.active for s in self.engine.slots)
                         or self.engine._inflight):
                     self._wake.clear()
+            if finished:
+                self._slot_freed.set()
             for rid in finished:
                 ev = self._done.pop(rid, None)
                 if ev:
@@ -314,25 +330,35 @@ class ServingFrontend:
         stepper keeps advancing everyone else's decode), then spin briefly
         for a free slot. Returns the req_id; raises TimeoutError past the
         deadline (releasing the prepared KV buffer)."""
-        image = self._resolve_image(image, image_key)
-        with self._model_lock:
-            prep = self.engine.prepare(
-                image, question=question, caption_length=length,
-                temperature=temperature, top_p=top_p,
-            )
-        while True:
-            with self._lock:
-                if self.engine.free_slots():
-                    rid = self.engine.admit_prepared(
-                        prep, max_tokens=max_tokens, on_text=on_text
-                    )
-                    self._done[rid] = ev
-                    self._wake.set()
-                    return rid
-            if time.monotonic() > deadline:
-                self.engine.release_prepared(prep)
-                raise TimeoutError("no free slot before timeout")
-            time.sleep(0.05)
+        if not self._admission_sem.acquire(
+            timeout=max(0.0, deadline - time.monotonic())
+        ):
+            raise TimeoutError("admission queue full before timeout")
+        try:
+            image = self._resolve_image(image, image_key)
+            with self._model_lock:
+                prep = self.engine.prepare(
+                    image, question=question, caption_length=length,
+                    temperature=temperature, top_p=top_p,
+                )
+            while True:
+                with self._lock:
+                    if self.engine.free_slots():
+                        rid = self.engine.admit_prepared(
+                            prep, max_tokens=max_tokens, on_text=on_text
+                        )
+                        self._done[rid] = ev
+                        self._wake.set()
+                        return rid
+                    self._slot_freed.clear()
+                if time.monotonic() > deadline:
+                    self.engine.release_prepared(prep)
+                    raise TimeoutError("no free slot before timeout")
+                # woken by the stepper when a request finishes (50ms
+                # fallback covers cancel-freed slots)
+                self._slot_freed.wait(timeout=0.05)
+        finally:
+            self._admission_sem.release()
 
     def _pop_result(self, rid):
         """Fetch + forget a finished request (the engine's results dict
@@ -506,6 +532,17 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.flush()
         except (BrokenPipeError, ConnectionResetError):
             gen.close()  # GeneratorExit inside -> cancel + free the slot
+        except Exception as e:
+            # headers are already out: a second HTTP response would
+            # corrupt the stream, so surface the error as an SSE event
+            # (no [DONE]) and end the body
+            try:
+                self.wfile.write(
+                    f"data: {json.dumps({'error': str(e)})}\n\n".encode()
+                )
+                self.wfile.flush()
+            except OSError:
+                pass
 
     def do_GET(self):
         if self.path == "/healthz":
@@ -532,7 +569,7 @@ class _Handler(BaseHTTPRequestHandler):
             top_p = payload.get("top_p")
             temp = None if temp is None else float(temp)
             top_p = None if top_p is None else float(top_p)
-            stream = bool(payload.get("stream"))
+            stream = _parse_bool(payload.get("stream"))
             if self.path == "/v1/caption":
                 if stream:
                     self._stream_sse(
