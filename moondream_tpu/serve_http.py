@@ -10,6 +10,7 @@ Endpoints (JSON in, JSON out; images as base64 in the request body):
     "stream": true (server-sent events: data: {"chunk": ...} ... [DONE])
   POST /v1/detect    {"image_b64": ..., "object": ...}
   POST /v1/point     {"image_b64": ..., "object": ...}
+  POST /v1/gaze      {"image_b64": ..., "eye": {"x": ..., "y": ...}}
   GET  /healthz      liveness + slot occupancy
   GET  /metrics      request counters, latency percentiles, token rates
 
@@ -454,6 +455,18 @@ class ServingFrontend:
             )
             return fn(images, obj)
 
+    def gaze_request(self, image, eye, image_key: Optional[str] = None):
+        t0 = time.monotonic()
+        try:
+            image = self._resolve_image(image, image_key)
+            with self._model_lock:
+                out = self.model.detect_gaze(image, eye=eye)
+        except Exception:
+            self.metrics.observe("gaze", time.monotonic() - t0, ok=False)
+            raise
+        self.metrics.observe("gaze", time.monotonic() - t0, ok=True)
+        return out
+
     def structured_request(self, kind: str, image, obj: str,
                            image_key: Optional[str] = None) -> Any:
         t0 = time.monotonic()
@@ -602,6 +615,13 @@ class _Handler(BaseHTTPRequestHandler):
                         image_key=image_key,
                     ),
                 )
+            elif self.path == "/v1/gaze":
+                eye = payload["eye"]
+                out = self.frontend.gaze_request(
+                    image, (float(eye["x"]), float(eye["y"])),
+                    image_key=image_key,
+                )
+                self._json(200, out)
             elif self.path == "/v1/point":
                 self._json(
                     200,

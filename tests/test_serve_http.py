@@ -374,3 +374,17 @@ def test_encode_window_batches_admissions(model):
     finally:
         srv.shutdown()
         frontend.shutdown()
+
+
+def test_gaze_endpoint(server):
+    code, body = _post(
+        server, "/v1/gaze",
+        {"image_b64": _image_b64(70), "eye": {"x": 0.4, "y": 0.3}},
+    )
+    assert code == 200 and "gaze" in body
+    g = body["gaze"]
+    assert g is None or (0.0 <= g["x"] <= 1.0 and 0.0 <= g["y"] <= 1.0)
+    # missing eye -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/gaze", {"image_b64": _image_b64(70)})
+    assert e.value.code == 400
