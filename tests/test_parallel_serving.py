@@ -1,0 +1,97 @@
+"""Tensor-parallel continuous batching (parallel/serving.py): the pool's
+fused ragged chunks run SPMD over a dp x tp mesh with byte-identical
+outputs to the single-device pool (same XLA-attention program, GSPMD
+partitions it from the text-param + KV shardings)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from moondream_tpu.config import tiny_test_config
+from moondream_tpu.models.moondream import MoondreamModel
+from moondream_tpu.models.serve import ContinuousBatchingEngine
+from moondream_tpu.parallel import make_sharded_serving_engine
+from moondream_tpu.parallel.mesh import create_mesh
+from moondream_tpu.tokenizer import ByteTokenizer
+
+
+def _xla_cfg():
+    cfg = tiny_test_config()
+    return dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, xla_attn=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def base_model():
+    return MoondreamModel(_xla_cfg(), tokenizer=ByteTokenizer(), seed=0)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(0)
+    return [
+        Image.fromarray(
+            rng.integers(0, 255, (100 + 20 * i, 120, 3), np.uint8)
+        )
+        for i in range(3)
+    ]
+
+
+def test_sharded_pool_matches_single_device(base_model, images):
+    ref_eng = ContinuousBatchingEngine(
+        base_model, n_slots=4, slot_len=1024, chunk=4
+    )
+    ref_ids = [ref_eng.submit(im, max_tokens=8) for im in images]
+    ref = ref_eng.drain()
+
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    eng = make_sharded_serving_engine(
+        base_model, mesh, n_slots=4, slot_len=1024, chunk=4
+    )
+    ids = [eng.submit(im, max_tokens=8) for im in images]
+    out = eng.drain()
+    for i, r in zip(ids, ref_ids):
+        assert out[i] == ref[r]
+    # pool KV keeps its mesh placement through donated chunk steps
+    spec = eng.kv.k.sharding.spec
+    assert "dp" in spec and "tp" in spec
+
+
+def test_sharded_pool_staggered_and_vqa(base_model, images):
+    """Staggered admission + mixed caption/VQA through the sharded pool:
+    slot writes at different times recompose correctly across the dp
+    shards of the slots axis."""
+    ref_eng = ContinuousBatchingEngine(
+        base_model, n_slots=4, slot_len=1024, chunk=3
+    )
+    r0 = ref_eng.submit(images[0], max_tokens=8)
+    ref_eng.step()
+    r1 = ref_eng.submit(images[1], question="what?", max_tokens=8)
+    ref = ref_eng.drain()
+
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    eng = make_sharded_serving_engine(
+        base_model, mesh, n_slots=4, slot_len=1024, chunk=3
+    )
+    s0 = eng.submit(images[0], max_tokens=8)
+    eng.step()
+    s1 = eng.submit(images[1], question="what?", max_tokens=8)
+    out = eng.drain()
+    assert out[s0] == ref[r0]
+    assert out[s1] == ref[r1]
+
+
+def test_sharded_pool_validation(base_model):
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    with pytest.raises(ValueError, match="n_slots"):
+        make_sharded_serving_engine(base_model, mesh, n_slots=2)
+
+    cfg = tiny_test_config()  # xla_attn False
+    pallas_model = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
+    with pytest.raises(ValueError, match="xla_attn"):
+        make_sharded_serving_engine(pallas_model, mesh, n_slots=4)
