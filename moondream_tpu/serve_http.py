@@ -189,18 +189,29 @@ class ServingFrontend:
                  chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0,
                  speculative: int = 0, spec_adaptive: float = 0.0,
                  struct_window_s: float = 0.02, encode_cache: int = 0,
-                 encode_window_s: float = 0.0):
+                 encode_window_s: float = 0.0, mesh=None):
         from .models.serve import ContinuousBatchingEngine
 
-        self.model = model
-        self.engine = ContinuousBatchingEngine(
-            model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
+        engine_kw = dict(
+            n_slots=n_slots, slot_len=slot_len, chunk=chunk,
             temperature=temperature, top_p=top_p, speculative=speculative,
             spec_adaptive=spec_adaptive,
             # overlap each chunk's host round trip with the next chunk's
             # device compute; costs one chunk of streaming latency
             pipeline_depth=2,
         )
+        if mesh is not None:
+            # multi-chip serving: decode chunks run SPMD over the mesh
+            # (slots on dp, KV heads on tp, Megatron text params)
+            from .parallel.serving import make_sharded_serving_engine
+
+            self.engine = make_sharded_serving_engine(
+                model, mesh, **engine_kw
+            )
+            model = self.engine.model  # the sharded-params twin
+        else:
+            self.engine = ContinuousBatchingEngine(model, **engine_kw)
+        self.model = model
         self._lock = threading.Lock()  # pool state: step / admit / results
         # model-level work (encode+prefill of admissions, detect/point):
         # serialized among themselves but NOT against the pool stepper —
@@ -645,13 +656,14 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 temperature: float = 0.0, top_p: float = 0.0,
                 speculative: int = 0, spec_adaptive: float = 0.0,
                 struct_window_s: float = 0.02, encode_cache: int = 0,
-                encode_window_s: float = 0.0):
+                encode_window_s: float = 0.0, mesh=None):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
         temperature=temperature, top_p=top_p, speculative=speculative,
         spec_adaptive=spec_adaptive, struct_window_s=struct_window_s,
         encode_cache=encode_cache, encode_window_s=encode_window_s,
+        mesh=mesh,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -685,6 +697,11 @@ def main():
                         help="pool-wide sampling temperature (0 = greedy; "
                              "requests may override per-call)")
     parser.add_argument("--top-p", type=float, default=0.0)
+    parser.add_argument("--tp", type=int, default=0, metavar="N",
+                        help="shard the serving pool over N-way tensor "
+                             "parallelism (remaining devices become dp for "
+                             "the slot axis); forces xla_attn. 0 = single "
+                             "device")
     parser.add_argument("--encode-cache", type=int, default=0, metavar="N",
                         help="LRU-cache the N most recent images' encodes "
                              "(content-addressed): repeat images skip "
@@ -718,6 +735,22 @@ def main():
     )
     if params is None:
         print("WARNING: no --model; serving random weights (smoke mode)")
+    mesh = None
+    if args.tp:
+        import dataclasses
+
+        import jax
+
+        from .parallel.mesh import create_mesh
+
+        n = len(jax.devices())
+        if n % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide {n} devices")
+        mesh = create_mesh({"dp": n // args.tp, "tp": args.tp})
+        # GSPMD partitions the XLA attention path; Pallas is opaque
+        config = dataclasses.replace(
+            config, text=dataclasses.replace(config.text, xla_attn=True)
+        )
     model = MoondreamModel(
         config, params=params, tokenizer=load_tokenizer(args.tokenizer)
     )
@@ -727,7 +760,7 @@ def main():
         temperature=args.temperature, top_p=args.top_p,
         speculative=args.spec, spec_adaptive=args.spec_adaptive,
         struct_window_s=args.struct_window, encode_cache=args.encode_cache,
-        encode_window_s=args.encode_window,
+        encode_window_s=args.encode_window, mesh=mesh,
     )
     print(f"serving on http://{args.host}:{args.port}")
     try:

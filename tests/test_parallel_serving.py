@@ -95,3 +95,80 @@ def test_sharded_pool_validation(base_model):
     pallas_model = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
     with pytest.raises(ValueError, match="xla_attn"):
         make_sharded_serving_engine(pallas_model, mesh, n_slots=4)
+
+
+def test_http_frontend_over_sharded_pool(base_model, images):
+    """The HTTP server's --tp path: ServingFrontend(mesh=...) serves
+    concurrent requests through the SPMD pool with outputs matching the
+    single-device engine."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from moondream_tpu.serve_http import make_server
+
+    ref_eng = ContinuousBatchingEngine(
+        base_model, n_slots=4, slot_len=1024, chunk=4
+    )
+    ref_ids = [ref_eng.submit(im, max_tokens=8) for im in images[:2]]
+    ref = ref_eng.drain()
+
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    srv, frontend = make_server(
+        base_model, "127.0.0.1", 0, n_slots=4, chunk=4, mesh=mesh
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        results = {}
+
+        def run(i, im):
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/caption",
+                data=json.dumps({
+                    "image_b64": base64.b64encode(buf.getvalue()).decode(),
+                    "max_tokens": 8,
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[i] = json.loads(r.read())["caption"]
+
+        threads = [
+            threading.Thread(target=run, args=(i, im))
+            for i, im in enumerate(images[:2])
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        for i, r in enumerate(ref_ids):
+            assert results[i] == ref[r]
+    finally:
+        srv.shutdown()
+        frontend.shutdown()
+
+
+def test_sharded_pool_with_speculation(base_model, images):
+    """Speculative chunks (n-gram drafts + ragged span verify) compose
+    with the sharded pool: greedy outputs stay byte-identical to the
+    plain single-device engine."""
+    ref_eng = ContinuousBatchingEngine(
+        base_model, n_slots=4, slot_len=1024, chunk=3
+    )
+    ref_ids = [ref_eng.submit(im, max_tokens=10) for im in images[:2]]
+    ref = ref_eng.drain()
+
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    eng = make_sharded_serving_engine(
+        base_model, mesh, n_slots=4, slot_len=1024, chunk=3, speculative=4
+    )
+    ids = [eng.submit(im, max_tokens=10) for im in images[:2]]
+    out = eng.drain()
+    for i, r in zip(ids, ref_ids):
+        assert out[i] == ref[r]
