@@ -29,7 +29,8 @@ program, partitioned): tests/test_parallel_serving.py.
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.moondream import MoondreamModel
 from ..models.serve import ContinuousBatchingEngine
@@ -37,8 +38,51 @@ from .inference import kv_cache_sharding
 from .mesh import text_param_shardings
 
 
+def shard_vision_encoder(model: MoondreamModel, mesh: Mesh) -> None:
+    """Make the model's crop-batch ViT run data-parallel over ALL mesh
+    devices (the crop axis shards across the flattened dp x tp device
+    grid via shard_map; vision params replicate). Per-crop math is
+    batch-independent — attention and LN reduce within a crop — so the
+    sharded encoder is numerically identical to the single-device stack;
+    crop stacks pad to a multiple of the device count and slice back.
+    Every encode path (encode_image, encode_images, the pipelines) goes
+    through the same jit-cache seam, so one override covers them all."""
+    from ..models import vision as vision_ops
+
+    cfg = model.config.vision
+    dtype = model.dtype
+    axes = tuple(mesh.axis_names)
+    world = mesh.size
+
+    def body(vision_params, crops_u8):
+        x = crops_u8.astype(dtype) / 255.0
+        x = (x - 0.5) / 0.5
+        return vision_ops.vision_encoder(x, vision_params, cfg)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(axes, None, None, None)),
+            out_specs=P(axes, None, None),
+        )
+    )
+
+    def run(vision_params, crops_u8):
+        n = crops_u8.shape[0]
+        pad = (-n) % world
+        if pad:
+            crops_u8 = jnp.concatenate(
+                [crops_u8,
+                 jnp.zeros((pad, *crops_u8.shape[1:]), crops_u8.dtype)]
+            )
+        return sharded(vision_params, crops_u8)[:n]
+
+    model._jits["vis_enc"] = run
+
+
 def make_sharded_serving_engine(
-    model: MoondreamModel, mesh: Mesh, **engine_kwargs
+    model: MoondreamModel, mesh: Mesh, shard_vision: bool = False,
+    **engine_kwargs,
 ) -> ContinuousBatchingEngine:
     """Build a ContinuousBatchingEngine whose decode chunks run SPMD over
     `mesh`. The vision encoder and single-row prefill stay on the default
@@ -72,6 +116,10 @@ def make_sharded_serving_engine(
         },
         tokenizer=model.tokenizer,
     )
+    if shard_vision:
+        # crop-axis data parallelism for admissions' encodes — bit-exact
+        # with the single-device ViT (per-crop independence)
+        shard_vision_encoder(smodel, mesh)
     eng = ContinuousBatchingEngine(smodel, **engine_kwargs)
     if eng.n_slots % dp:
         raise ValueError(f"n_slots={eng.n_slots} not divisible by dp={dp}")

@@ -206,7 +206,7 @@ class ServingFrontend:
             from .parallel.serving import make_sharded_serving_engine
 
             self.engine = make_sharded_serving_engine(
-                model, mesh, **engine_kw
+                model, mesh, shard_vision=True, **engine_kw
             )
             model = self.engine.model  # the sharded-params twin
         else:

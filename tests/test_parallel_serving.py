@@ -172,3 +172,44 @@ def test_sharded_pool_with_speculation(base_model, images):
     out = eng.drain()
     for i, r in zip(ids, ref_ids):
         assert out[i] == ref[r]
+
+
+def test_sharded_vision_encoder_bit_exact(base_model, images):
+    """shard_map ViT over all 8 devices: per-crop math is
+    batch-independent, so the sharded encoder's features — and therefore
+    full caption outputs — must match the single-device path exactly,
+    including crop counts not divisible by the device count (padding)."""
+    from moondream_tpu.parallel.serving import shard_vision_encoder
+
+    ref = [
+        base_model.caption(
+            im, "normal",
+            settings={"temperature": 0.0, "top_p": 0.0, "max_tokens": 8},
+        )["caption"]
+        for im in images
+    ]
+
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    smodel = MoondreamModel(
+        _xla_cfg(), params=base_model.params, tokenizer=ByteTokenizer()
+    )
+    shard_vision_encoder(smodel, mesh)
+    for im, want in zip(images, ref):
+        got = smodel.caption(
+            im, "normal",
+            settings={"temperature": 0.0, "top_p": 0.0, "max_tokens": 8},
+        )["caption"]
+        assert got == want
+
+    # composes with the sharded pool
+    eng = make_sharded_serving_engine(
+        base_model, mesh, shard_vision=True, n_slots=4, slot_len=1024,
+        chunk=4,
+    )
+    rid = eng.submit(images[0], max_tokens=8)
+    out = eng.drain()
+    ref_eng = ContinuousBatchingEngine(
+        base_model, n_slots=4, slot_len=1024, chunk=4
+    )
+    r = ref_eng.submit(images[0], max_tokens=8)
+    assert out[rid] == ref_eng.drain()[r]
