@@ -388,3 +388,83 @@ def test_gaze_endpoint(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/v1/gaze", {"image_b64": _image_b64(70)})
     assert e.value.code == 400
+
+
+def test_mixed_load_soak(model):
+    """Sustained mixed load through one frontend: plain + sampled +
+    streamed captions, queries, coalesced detects, and a mid-flight
+    cancel (timeout) all interleaved across threads. Afterwards the pool
+    must be fully free, the engine's results dict drained (no per-request
+    growth), and the KV pool bounded — the invariants that rot first in
+    threaded serving code."""
+    from moondream_tpu.serve_http import ServingFrontend
+
+    frontend = ServingFrontend(model, n_slots=4, chunk=4, encode_cache=2)
+    rng = np.random.default_rng(123)
+
+    def img(seed):
+        r = np.random.default_rng(seed)
+        return Image.fromarray(
+            r.integers(0, 255, size=(100 + (seed % 3) * 30, 140, 3),
+                       dtype=np.uint8)
+        )
+
+    errors = []
+    done = []
+
+    def worker(i):
+        try:
+            kind = i % 5
+            if kind == 0:
+                out = frontend.text_request(img(i), None, "normal", 8)
+                assert isinstance(out, str)
+            elif kind == 1:
+                out = frontend.text_request(
+                    img(i), "what?", "normal", 8, temperature=0.7, top_p=0.9
+                )
+                assert isinstance(out, str)
+            elif kind == 2:
+                chunks = list(
+                    frontend.text_request_stream(img(i), None, "normal", 8)
+                )
+                assert all(isinstance(c, str) for c in chunks)
+            elif kind == 3:
+                out = frontend.structured_request("detect", img(i), "thing")
+                assert "objects" in out
+            else:
+                # deliberately impossible deadline -> timeout path
+                try:
+                    frontend.text_request(
+                        img(i), None, "normal", 200, timeout_s=0.001
+                    )
+                except TimeoutError:
+                    pass
+            done.append(i)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(15)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    try:
+        assert not errors, errors
+        assert len(done) == 15
+        # drain anything still in flight, then check the invariants
+        deadline = __import__("time").monotonic() + 120
+        while (any(s.active for s in frontend.engine.slots)
+               or frontend.engine._inflight):
+            assert __import__("time").monotonic() < deadline, "pool stuck"
+            __import__("time").sleep(0.1)
+        assert len(frontend.engine.free_slots()) == 4
+        # frontend pops results per request; timeouts clean up after
+        # themselves — nothing may accumulate
+        assert len(frontend.engine.results) == 0, frontend.engine.results
+        assert len(frontend.engine.token_counts) == 0
+        for key, pool in model._kv_pool.items():
+            assert len(pool) <= 2, (key, len(pool))
+        m = frontend.metrics.snapshot()
+        assert sum(m["requests"].values()) >= 15
+    finally:
+        frontend.shutdown()
