@@ -502,6 +502,25 @@ class ServingFrontend:
             )
         return out
 
+    def warmup(self) -> None:
+        """Compile the serving path before traffic: run one dummy request
+        through encode -> prefill -> admission -> chunk loop (incl. the
+        speculative chunk when enabled). Without this the FIRST request
+        pays every jit compile — minutes at 2B on TPU."""
+        import numpy as _np
+        from PIL import Image as _Image
+
+        img = _Image.fromarray(
+            _np.zeros((64, 64, 3), dtype=_np.uint8)
+        )
+        out = self.text_request(
+            img, None, "normal", max_tokens=self.engine.chunk + 1
+        )
+        assert isinstance(out, str)
+        # drop the dummy encode from the cache so it never serves a hit
+        with self._cache_lock:
+            self._enc_cache.clear()
+
     def shutdown(self):
         self._stop = True
         self._wake.set()
@@ -697,6 +716,9 @@ def main():
                         help="pool-wide sampling temperature (0 = greedy; "
                              "requests may override per-call)")
     parser.add_argument("--top-p", type=float, default=0.0)
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip the startup warmup request (the first "
+                             "real request then pays all jit compiles)")
     parser.add_argument("--tp", type=int, default=0, metavar="N",
                         help="shard the serving pool over N-way tensor "
                              "parallelism (remaining devices become dp for "
@@ -762,6 +784,11 @@ def main():
         struct_window_s=args.struct_window, encode_cache=args.encode_cache,
         encode_window_s=args.encode_window, mesh=mesh,
     )
+    if not args.no_warmup:
+        print("warming up (compiling the serving path)...")
+        t0 = time.monotonic()
+        frontend.warmup()
+        print(f"warmup done in {time.monotonic() - t0:.1f}s")
     print(f"serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

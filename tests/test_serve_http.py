@@ -468,3 +468,18 @@ def test_mixed_load_soak(model):
         assert sum(m["requests"].values()) >= 15
     finally:
         frontend.shutdown()
+
+
+def test_warmup(model):
+    """warmup() compiles the serving path end-to-end and leaves a clean
+    pool (all slots free, encode cache empty)."""
+    from moondream_tpu.serve_http import ServingFrontend
+
+    frontend = ServingFrontend(model, n_slots=2, chunk=4, encode_cache=2)
+    try:
+        frontend.warmup()
+        assert len(frontend.engine.free_slots()) == 2
+        assert len(frontend._enc_cache) == 0
+        assert frontend.metrics.snapshot()["requests"].get("caption", 0) >= 1
+    finally:
+        frontend.shutdown()
