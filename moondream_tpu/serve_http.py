@@ -11,6 +11,9 @@ Endpoints (JSON in, JSON out; images as base64 in the request body):
   POST /v1/detect    {"image_b64": ..., "object": ...}
   POST /v1/point     {"image_b64": ..., "object": ...}
   POST /v1/gaze      {"image_b64": ..., "eye": {"x": ..., "y": ...}}
+  POST /v1/chat/completions   OpenAI-compatible chat endpoint (content
+    parts of type text + image_url with data: URIs; "stream": true sends
+    OpenAI-style chat.completion.chunk SSE events)
   GET  /healthz      liveness + slot occupancy
   GET  /metrics      request counters, latency percentiles, token rates
 
@@ -161,6 +164,51 @@ def _parse_bool(v) -> bool:
     if isinstance(v, str):
         return v.strip().lower() in ("1", "true", "yes", "on")
     return bool(v)
+
+
+def _parse_chat(payload: Dict[str, Any]):
+    """OpenAI chat-completions request -> (PIL image | None, content key
+    | None, question text). The last user message's content parts are
+    used: text parts concatenate into the question; the first image_url
+    part (data: URI) becomes the image. Remote http(s) image URLs are
+    rejected (the server does not fetch)."""
+    from PIL import Image
+
+    msgs = payload.get("messages")
+    if not isinstance(msgs, list) or not msgs:
+        raise ValueError("missing 'messages'")
+    user = None
+    for m in msgs:
+        if isinstance(m, dict) and m.get("role") == "user":
+            user = m
+    if user is None:
+        raise ValueError("no user message")
+    content = user.get("content")
+    texts, image, key = [], None, None
+    parts = (
+        [{"type": "text", "text": content}]
+        if isinstance(content, str) else (content or [])
+    )
+    for part in parts:
+        if not isinstance(part, dict):
+            continue
+        if part.get("type") == "text":
+            texts.append(part.get("text", ""))
+        elif part.get("type") == "image_url" and image is None:
+            url = (part.get("image_url") or {}).get("url", "")
+            if url.startswith("data:"):
+                b64 = url.split(",", 1)[1] if "," in url else ""
+                raw = base64.b64decode(b64)
+                key = hashlib.sha256(raw).hexdigest()
+                image = Image.open(io.BytesIO(raw)).convert("RGB")
+            else:
+                raise ValueError(
+                    "only data: image URLs are supported (no egress)"
+                )
+    question = " ".join(t for t in texts if t).strip()
+    if not question:
+        raise ValueError("no text content in user message")
+    return image, key, question
 
 
 def _decode_image(payload: Dict[str, Any]):
@@ -452,6 +500,37 @@ class ServingFrontend:
             self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
             raise
 
+    def chat_request(self, image, question, max_tokens, temperature, top_p,
+                     image_key=None):
+        """OpenAI-compatible completion: returns (text, completion_tokens).
+        Image requests ride the continuous-batching pool; text-only
+        requests run the model's no-image query path."""
+        t0 = time.monotonic()
+        try:
+            if image is not None:
+                out, n = self._text_request(
+                    image, question, "normal", max_tokens, 300.0,
+                    temperature, top_p, image_key,
+                )
+            else:
+                settings = {
+                    "max_tokens": max_tokens,
+                    "temperature": 0.0 if temperature is None else temperature,
+                    "top_p": 0.0 if top_p is None else top_p,
+                }
+                with self._model_lock:
+                    out = self.model.query(
+                        image=None, question=question, settings=settings
+                    )["answer"]
+                n = 0
+        except Exception:
+            self.metrics.observe("chat", time.monotonic() - t0, ok=False)
+            raise
+        self.metrics.observe(
+            "chat", time.monotonic() - t0, ok=True, tokens=n
+        )
+        return out, n
+
     # ----------------------------------------------------- structured path
     def _run_structured(self, kind: str, images, obj: str):
         with self._model_lock:
@@ -541,6 +620,84 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _chat_completions(self, payload):
+        image, key, question = _parse_chat(payload)
+        max_tokens = int(payload.get("max_tokens")
+                         or payload.get("max_completion_tokens") or 512)
+        temp = payload.get("temperature")
+        top_p = payload.get("top_p")
+        temp = None if temp is None else float(temp)
+        top_p = None if top_p is None else float(top_p)
+        model_name = payload.get("model", "moondream")
+        rid = f"chatcmpl-{int(time.time() * 1000)}"
+        created = int(time.time())
+
+        if _parse_bool(payload.get("stream")):
+            if image is None:
+                raise ValueError("streaming requires an image message")
+            gen = self.frontend.text_request_stream(
+                image, question, "normal", max_tokens,
+                temperature=temp, top_p=top_p, image_key=key,
+            )
+            it = iter(gen)
+            try:
+                first = next(it)
+            except StopIteration:
+                first = None
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def event(delta, finish=None):
+                return ("data: " + json.dumps({
+                    "id": rid, "object": "chat.completion.chunk",
+                    "created": created, "model": model_name,
+                    "choices": [{
+                        "index": 0, "delta": delta,
+                        "finish_reason": finish,
+                    }],
+                }) + "\n\n").encode()
+
+            try:
+                self.wfile.write(event({"role": "assistant"}))
+                if first is not None:
+                    self.wfile.write(event({"content": first}))
+                for chunk in it:
+                    self.wfile.write(event({"content": chunk}))
+                    self.wfile.flush()
+                self.wfile.write(event({}, finish="stop"))
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                gen.close()
+            except Exception as e:
+                try:
+                    self.wfile.write(
+                        f"data: {json.dumps({'error': str(e)})}\n\n".encode()
+                    )
+                    self.wfile.flush()
+                except OSError:
+                    pass
+            return
+
+        out, n_tokens = self.frontend.chat_request(
+            image, question, max_tokens, temp, top_p, image_key=key
+        )
+        self._json(200, {
+            "id": rid, "object": "chat.completion", "created": created,
+            "model": model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": out},
+                "finish_reason": "stop",
+            }],
+            "usage": {
+                "prompt_tokens": 0, "completion_tokens": n_tokens,
+                "total_tokens": n_tokens,
+            },
+        })
+
     def _stream_sse(self, image, question, length, max_tokens, temp,
                     top_p, image_key=None):
         """`"stream": true` responses: text/event-stream of
@@ -606,6 +763,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/v1/chat/completions":
+                self._chat_completions(payload)
+                return
             image, image_key = _decode_image(payload)
             max_tokens = int(payload.get("max_tokens", 512))
             temp = payload.get("temperature")

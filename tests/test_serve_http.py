@@ -483,3 +483,78 @@ def test_warmup(model):
         assert frontend.metrics.snapshot()["requests"].get("caption", 0) >= 1
     finally:
         frontend.shutdown()
+
+
+def test_chat_completions(server, model):
+    """OpenAI-compatible endpoint: image+text message answers through the
+    pool (matching the native query path), text-only messages use the
+    no-image query path, streaming emits chat.completion.chunk deltas
+    that concatenate to the non-streaming content."""
+    b64 = _image_b64(80)
+
+    def chat(payload):
+        return _post(server, "/v1/chat/completions", payload)
+
+    msg = [{
+        "role": "user",
+        "content": [
+            {"type": "text", "text": "What is this?"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ],
+    }]
+    code, body = chat({"messages": msg, "max_tokens": 8})
+    assert code == 200
+    assert body["object"] == "chat.completion"
+    content = body["choices"][0]["message"]["content"]
+    assert isinstance(content, str)
+    assert body["usage"]["completion_tokens"] >= 0
+
+    # parity with the native query endpoint (same pool, greedy)
+    _, native = _post(
+        server, "/v1/query",
+        {"image_b64": b64, "question": "What is this?", "max_tokens": 8},
+    )
+    assert content == native["answer"]
+
+    # text-only message -> no-image query path
+    code, body = chat({
+        "messages": [{"role": "user", "content": "Say something."}],
+        "max_tokens": 6,
+    })
+    assert code == 200
+    assert isinstance(body["choices"][0]["message"]["content"], str)
+
+    # streaming: deltas concatenate to the non-streaming answer
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps(
+            {"messages": msg, "max_tokens": 8, "stream": True}
+        ).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers.get("Content-Type") == "text/event-stream"
+        raw = r.read().decode()
+    events = [
+        json.loads(line[6:]) for line in raw.split("\n")
+        if line.startswith("data: ") and line != "data: [DONE]"
+    ]
+    assert events[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert events[-1]["choices"][0]["finish_reason"] == "stop"
+    streamed = "".join(
+        e["choices"][0]["delta"].get("content", "") for e in events
+    )
+    assert streamed == content
+
+    # remote URLs are rejected (zero egress)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        chat({"messages": [{
+            "role": "user",
+            "content": [
+                {"type": "text", "text": "x"},
+                {"type": "image_url",
+                 "image_url": {"url": "https://example.com/x.png"}},
+            ],
+        }]})
+    assert e.value.code == 400
