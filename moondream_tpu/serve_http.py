@@ -531,6 +531,34 @@ class ServingFrontend:
         )
         return out, n
 
+    def query_direct(self, image, question, max_tokens, temperature, top_p,
+                     reasoning=False, spatial_refs=None, image_key=None):
+        """Reasoning / spatial-ref queries run the model's own fused
+        loops under the model lock (single-stream): these paths
+        interleave coordinate decoding with text generation and don't
+        fit the ragged text pool. Returns the library's full dict
+        ({"answer", optional "reasoning" with grounding})."""
+        t0 = time.monotonic()
+        ep = "query_reasoning" if reasoning else "query_spatial"
+        try:
+            if image is not None:
+                image = self._resolve_image(image, image_key)
+            settings = {
+                "max_tokens": max_tokens,
+                "temperature": 0.0 if temperature is None else temperature,
+                "top_p": 0.0 if top_p is None else top_p,
+            }
+            with self._model_lock:
+                out = self.model.query(
+                    image=image, question=question, reasoning=reasoning,
+                    spatial_refs=spatial_refs, settings=settings,
+                )
+        except Exception:
+            self.metrics.observe(ep, time.monotonic() - t0, ok=False)
+            raise
+        self.metrics.observe(ep, time.monotonic() - t0, ok=True)
+        return out
+
     # ----------------------------------------------------- structured path
     def _run_structured(self, kind: str, images, obj: str):
         with self._model_lock:
@@ -786,6 +814,28 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self._json(200, {"caption": out})
             elif self.path == "/v1/query":
+                reasoning = _parse_bool(payload.get("reasoning"))
+                spatial_refs = payload.get("spatial_refs")
+                if reasoning or spatial_refs:
+                    if spatial_refs is not None:
+                        spatial_refs = [
+                            [float(v) for v in ref] for ref in spatial_refs
+                        ]
+                        if not all(len(r) in (2, 4) for r in spatial_refs):
+                            raise ValueError(
+                                "spatial_refs entries must be [x, y] points"
+                                " or [x1, y1, x2, y2] boxes"
+                            )
+                    out = self.frontend.query_direct(
+                        image, payload["question"], max_tokens, temp, top_p,
+                        reasoning=reasoning, spatial_refs=spatial_refs,
+                        image_key=image_key,
+                    )
+                    # grounding values may be numpy scalars
+                    self._json(
+                        200, json.loads(json.dumps(out, default=float))
+                    )
+                    return
                 if stream:
                     self._stream_sse(
                         image, payload["question"], "normal",

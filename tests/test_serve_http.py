@@ -558,3 +558,44 @@ def test_chat_completions(server, model):
             ],
         }]})
     assert e.value.code == 400
+
+
+def test_query_reasoning_and_spatial_refs(server, model):
+    """/v1/query with reasoning returns the grounded reasoning dict
+    matching the library path; spatial_refs thread through to the prompt;
+    malformed refs get a 400."""
+    b64 = _image_b64(90)
+    code, body = _post(server, "/v1/query", {
+        "image_b64": b64, "question": "Why?", "reasoning": True,
+        "max_tokens": 8,
+    })
+    assert code == 200
+    assert "reasoning" in body and "answer" in body
+    assert isinstance(body["reasoning"].get("text"), str)
+
+    rng = np.random.default_rng(90)
+    im = Image.fromarray(rng.integers(0, 255, (120, 160, 3), np.uint8))
+    want = model.query(
+        im, "Why?", reasoning=True,
+        settings={"temperature": 0.0, "top_p": 0.0, "max_tokens": 8},
+    )
+    assert body["answer"] == want["answer"]
+    assert body["reasoning"]["text"] == want["reasoning"]["text"]
+
+    code, body = _post(server, "/v1/query", {
+        "image_b64": b64, "question": "What is here?",
+        "spatial_refs": [[0.5, 0.5], [0.1, 0.1, 0.6, 0.6]],
+        "max_tokens": 8,
+    })
+    assert code == 200 and isinstance(body["answer"], str)
+    want = model.query(
+        im, "What is here?", spatial_refs=[(0.5, 0.5), (0.1, 0.1, 0.6, 0.6)],
+        settings={"temperature": 0.0, "top_p": 0.0, "max_tokens": 8},
+    )
+    assert body["answer"] == want["answer"]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/query", {
+            "image_b64": b64, "question": "x", "spatial_refs": [[0.5]],
+        })
+    assert e.value.code == 400
