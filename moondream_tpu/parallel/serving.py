@@ -93,7 +93,12 @@ def make_sharded_serving_engine(
 
     Constraints (validated): `config.text.xla_attn` must be True,
     `n_kv_heads` divisible by the `tp` axis, `n_slots` divisible by the
-    `dp` axis."""
+    `dp` axis.
+
+    The engine serves a twin model holding mesh-sharded text params; the
+    caller's `model` still references the unsharded copies (GBs of
+    device-0 HBM at 2B) — drop that reference when the original model is
+    no longer needed."""
     cfg = model.config
     tp = int(mesh.shape.get("tp", 1))
     dp = int(mesh.shape.get("dp", 1))

@@ -177,50 +177,62 @@ def _parse_chat(payload: Dict[str, Any]):
     msgs = payload.get("messages")
     if not isinstance(msgs, list) or not msgs:
         raise ValueError("missing 'messages'")
-    user = None
-    for m in msgs:
-        if isinstance(m, dict) and m.get("role") == "user":
-            user = m
-    if user is None:
+
+    def parts_of(m):
+        content = m.get("content")
+        if isinstance(content, str):
+            return [{"type": "text", "text": content}]
+        return [p for p in (content or []) if isinstance(p, dict)]
+
+    users = [m for m in msgs if isinstance(m, dict) and m.get("role") == "user"]
+    if not users:
         raise ValueError("no user message")
-    content = user.get("content")
-    texts, image, key = [], None, None
-    parts = (
-        [{"type": "text", "text": content}]
-        if isinstance(content, str) else (content or [])
-    )
-    for part in parts:
-        if not isinstance(part, dict):
-            continue
-        if part.get("type") == "text":
-            texts.append(part.get("text", ""))
-        elif part.get("type") == "image_url" and image is None:
-            url = (part.get("image_url") or {}).get("url", "")
-            if url.startswith("data:"):
-                b64 = url.split(",", 1)[1] if "," in url else ""
-                raw = base64.b64decode(b64)
-                key = hashlib.sha256(raw).hexdigest()
-                image = Image.open(io.BytesIO(raw)).convert("RGB")
-            else:
-                raise ValueError(
-                    "only data: image URLs are supported (no egress)"
-                )
+
+    # question: the LAST user message's text. image: the most recent
+    # image_url in ANY user message — a multi-turn follow-up ("what
+    # color is it?") must keep answering about the image sent earlier,
+    # not silently fall to the no-image path.
+    texts = [
+        p.get("text", "") for p in parts_of(users[-1])
+        if p.get("type") == "text"
+    ]
     question = " ".join(t for t in texts if t).strip()
     if not question:
         raise ValueError("no text content in user message")
+
+    image, key = None, None
+    for m in reversed(users):
+        for part in reversed(parts_of(m)):
+            if part.get("type") == "image_url":
+                url = (part.get("image_url") or {}).get("url", "")
+                if not url.startswith("data:"):
+                    raise ValueError(
+                        "only data: image URLs are supported (no egress)"
+                    )
+                b64 = url.split(",", 1)[1] if "," in url else ""
+                image, key = _image_from_bytes(base64.b64decode(b64))
+                break
+        if image is not None:
+            break
     return image, key, question
 
 
-def _decode_image(payload: Dict[str, Any]):
-    """Returns (PIL image, content key) — the key addresses the server's
-    optional EncodedImage cache."""
+def _image_from_bytes(raw: bytes):
+    """bytes -> (PIL image, content key); the key addresses the server's
+    optional EncodedImage cache. Undecodable bytes are a client error."""
     from PIL import Image
 
+    key = hashlib.sha256(raw).hexdigest()
+    try:
+        return Image.open(io.BytesIO(raw)).convert("RGB"), key
+    except Exception as e:
+        raise ValueError(f"could not decode image: {e}") from e
+
+
+def _decode_image(payload: Dict[str, Any]):
     if "image_b64" not in payload:
         raise ValueError("missing 'image_b64'")
-    raw = base64.b64decode(payload["image_b64"])
-    key = hashlib.sha256(raw).hexdigest()
-    return Image.open(io.BytesIO(raw)).convert("RGB"), key
+    return _image_from_bytes(base64.b64decode(payload["image_b64"]))
 
 
 class ServingFrontend:
@@ -452,7 +464,8 @@ class ServingFrontend:
                             timeout_s: float = 300.0,
                             temperature: Optional[float] = None,
                             top_p: Optional[float] = None,
-                            image_key: Optional[str] = None):
+                            image_key: Optional[str] = None,
+                            endpoint: Optional[str] = None):
         """Generator of word-boundary-safe text chunks for one request
         (the engine's per-request on_text callback bridged through a
         queue). Concatenated chunks equal the non-streaming result.
@@ -460,7 +473,8 @@ class ServingFrontend:
         request and frees its slot."""
         import queue as _queue
 
-        endpoint = ("caption" if question is None else "query") + "_stream"
+        if endpoint is None:
+            endpoint = ("caption" if question is None else "query") + "_stream"
         t0 = time.monotonic()
         deadline = t0 + timeout_s
         ev = threading.Event()
@@ -522,7 +536,9 @@ class ServingFrontend:
                     out = self.model.query(
                         image=None, question=question, settings=settings
                     )["answer"]
-                n = 0
+                # no pool bookkeeping on this path: re-encoding the
+                # answer gives the completion token count for usage
+                n = len(self.model._encode_text(out)) if out else 0
         except Exception:
             self.metrics.observe("chat", time.monotonic() - t0, ok=False)
             raise
@@ -621,7 +637,8 @@ class ServingFrontend:
             _np.zeros((64, 64, 3), dtype=_np.uint8)
         )
         out = self.text_request(
-            img, None, "normal", max_tokens=self.engine.chunk + 1
+            img, None, "normal", max_tokens=self.engine.chunk + 1,
+            timeout_s=3600.0,  # first-compile budget (minutes at 2B on TPU)
         )
         assert isinstance(out, str)
         # drop the dummy encode from the cache so it never serves a hit
@@ -666,6 +683,7 @@ class _Handler(BaseHTTPRequestHandler):
             gen = self.frontend.text_request_stream(
                 image, question, "normal", max_tokens,
                 temperature=temp, top_p=top_p, image_key=key,
+                endpoint="chat_stream",
             )
             it = iter(gen)
             try:
@@ -816,6 +834,12 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/v1/query":
                 reasoning = _parse_bool(payload.get("reasoning"))
                 spatial_refs = payload.get("spatial_refs")
+                if (reasoning or spatial_refs) and stream:
+                    raise ValueError(
+                        "streaming is not supported with reasoning or "
+                        "spatial_refs (the response carries a structured "
+                        "reasoning/grounding dict, not a chunk stream)"
+                    )
                 if reasoning or spatial_refs:
                     if spatial_refs is not None:
                         spatial_refs = [
@@ -994,6 +1018,10 @@ def main():
         struct_window_s=args.struct_window, encode_cache=args.encode_cache,
         encode_window_s=args.encode_window, mesh=mesh,
     )
+    if mesh is not None:
+        # the frontend serves the sharded-params twin; dropping main's
+        # refs frees the unsharded text params (GBs of device-0 HBM)
+        del model, params
     if not args.no_warmup:
         print("warming up (compiling the serving path)...")
         t0 = time.monotonic()

@@ -599,3 +599,47 @@ def test_query_reasoning_and_spatial_refs(server, model):
             "image_b64": b64, "question": "x", "spatial_refs": [[0.5]],
         })
     assert e.value.code == 400
+
+
+def test_chat_multi_turn_keeps_image(server):
+    """A follow-up user message without an image must still answer about
+    the most recently sent image (not fall to the no-image path), and
+    stream+reasoning / malformed data URIs are client errors."""
+    b64 = _image_b64(80)
+    history = [
+        {"role": "user", "content": [
+            {"type": "text", "text": "What is this?"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ]},
+        {"role": "assistant", "content": "something"},
+        {"role": "user", "content": "What color is it?"},
+    ]
+    code, body = _post(
+        server, "/v1/chat/completions",
+        {"messages": history, "max_tokens": 8},
+    )
+    assert code == 200
+    followup = body["choices"][0]["message"]["content"]
+    # same as asking the question directly against the image
+    _, direct = _post(server, "/v1/query", {
+        "image_b64": b64, "question": "What color is it?", "max_tokens": 8,
+    })
+    assert followup == direct["answer"]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/query", {
+            "image_b64": b64, "question": "x", "reasoning": True,
+            "stream": True,
+        })
+    assert e.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/chat/completions", {"messages": [{
+            "role": "user",
+            "content": [
+                {"type": "text", "text": "x"},
+                {"type": "image_url", "image_url": {"url": "data:image/png;base64"}},
+            ],
+        }]})
+    assert e.value.code == 400
