@@ -1028,11 +1028,21 @@ def main():
         frontend.warmup()
         print(f"warmup done in {time.monotonic() - t0:.1f}s")
     print(f"serving on http://{args.host}:{args.port}")
+
+    # graceful SIGTERM (container orchestration): stop accepting, let the
+    # pool drain, then exit
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        print("shutting down (draining in-flight requests)...")
     finally:
+        server.shutdown()
         frontend.shutdown()
 
 
