@@ -135,17 +135,18 @@ def _ragged_attn(
     return out, kv
 
 
-def ragged_decode_step(
+def ragged_hidden_step(
     text_params: dict,
     kv: KVCache,
-    tokens: jax.Array,  # (S,)
+    x: jax.Array,  # (S, 1, D) input embeddings
     pos: jax.Array,  # (S,)
     config: TextConfig,
     kv_bound: Optional[int] = None,
 ) -> Tuple[jax.Array, KVCache]:
-    """One decode step for the whole slot pool at per-row positions.
-    Returns ((S, V) logits, new cache)."""
-    x = text_params["wte"][tokens][:, None, :]
+    """One decoder forward for the whole slot pool at per-row positions,
+    from caller-supplied input embeddings (text tokens, coordinate
+    embeddings, size embeddings — the mixed structured/text pool feeds
+    different embedding kinds per row). Returns ((S, D) hidden, cache)."""
     blocks_q = text_params.get("blocks_q")  # int4 runtime weights (closure)
 
     def block(carry, layer_in):
@@ -176,7 +177,24 @@ def ragged_decode_step(
         jnp.arange(config.n_layers, dtype=jnp.int32),
     )
     (hidden, kv_new), _ = jax.lax.scan(block, (x, kv), xs)
-    return lm_logits_batched(hidden[:, 0], text_params), kv_new
+    return hidden[:, 0], kv_new
+
+
+def ragged_decode_step(
+    text_params: dict,
+    kv: KVCache,
+    tokens: jax.Array,  # (S,)
+    pos: jax.Array,  # (S,)
+    config: TextConfig,
+    kv_bound: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step for the whole slot pool at per-row positions.
+    Returns ((S, V) logits, new cache)."""
+    x = text_params["wte"][tokens][:, None, :]
+    hidden, kv_new = ragged_hidden_step(
+        text_params, kv, x, pos, config, kv_bound
+    )
+    return lm_logits_batched(hidden, text_params), kv_new
 
 
 class ServeChunkResult(NamedTuple):
@@ -604,4 +622,198 @@ def write_slot(kv_pool: KVCache, snap: KVCache, slot: jax.Array) -> KVCache:
             pool, s, (0, slot, 0, 0, 0)
         ),
         kv_pool, snap,
+    )
+
+
+# ---------------------------------------------------------------- mixed pool
+# Per-slot decode modes for serve_chunk_mixed. Structured rows cycle
+# XN -> Y (-> SIZE) -> XN, consuming one decoder forward per transition —
+# the ragged-pool generalization of generate_points_batched
+# (engine/batched.py:189, reference moondream.py:653-733), sharing the
+# pool with free-text rows.
+MODE_TEXT = 0
+MODE_XN = 1  # hidden holds BOTH the continue/EOS token and the next x
+MODE_Y = 2
+MODE_SIZE = 3
+
+
+class ServeChunkMixedResult(NamedTuple):
+    tokens: jax.Array  # (S, chunk) int32 — text rows' emitted tokens
+    emitted: jax.Array  # (S, chunk) bool
+    active: jax.Array  # (S,) bool
+    pos: jax.Array  # (S,) int32
+    cur: jax.Array  # (S,) int32
+    budget: jax.Array  # (S,) int32
+    kv: KVCache
+    rng: jax.Array
+    mode: jax.Array  # (S,) int32
+    hid: jax.Array  # (S, D) — struct rows' pending hidden
+    pending: jax.Array  # (S,) int32 — struct rows' pending continue token
+    xbuf: jax.Array  # (S,) f32
+    ybuf: jax.Array  # (S,) f32
+    boxes: jax.Array  # (S, max_objects, 4) f32
+    nobj: jax.Array  # (S,) int32
+
+
+def serve_chunk_mixed(
+    text_params: dict,
+    region_params: dict,
+    kv: KVCache,
+    cur_tokens: jax.Array,  # (S,)
+    pos: jax.Array,  # (S,)
+    active: jax.Array,  # (S,) bool
+    budget: jax.Array,  # (S,) int32
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    mode: jax.Array,  # (S,) int32 — MODE_TEXT / MODE_XN / MODE_Y / MODE_SIZE
+    hid: jax.Array,  # (S, D)
+    pending: jax.Array,  # (S,) int32
+    xbuf: jax.Array,  # (S,) f32
+    ybuf: jax.Array,  # (S,) f32
+    boxes: jax.Array,  # (S, max_objects, 4) f32
+    nobj: jax.Array,  # (S,) int32
+    is_box: jax.Array,  # (S,) bool — detect (boxes) vs point rows
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    chunk: int,
+    max_objects: int,
+    kv_bound: Optional[int] = None,
+) -> ServeChunkMixedResult:
+    """One fused chunk over a pool mixing free-text rows (caption/VQA)
+    and structured rows (detect/point): every active row advances one
+    decoder forward per iteration, text rows sampling tokens, structured
+    rows stepping their coordinate state machine — the reference's
+    3-steps-per-object interleave (moondream.py:653-733) running ragged
+    alongside text decoding.
+
+    Per iteration, each structured row consumes its held hidden: XN rows
+    read the continue/EOS token (the shared post-forward lm head pass —
+    the same matmul text rows sample from, so structure costs no extra
+    vocab projections) AND decode x; Y rows decode y (recording point
+    rows); SIZE rows decode (w, h) and record the box. The row's next
+    input embedding is the coordinate/size encoding, exactly like the
+    sequential path, so outputs are the single-path outputs."""
+    from ..models import region as region_ops
+    from ..ops.layers import mlp as _mlp
+
+    S = cur_tokens.shape[0]
+    emb_dtype = text_params["wte"].dtype
+    toks0 = jnp.zeros((S, chunk), jnp.int32)
+    emit0 = jnp.zeros((S, chunk), jnp.bool_)
+    max_pos = (kv_bound or config.max_context) - 1
+
+    def body(i, c):
+        (kv_, cur, pos_, act, bud, rng_, toks, emit,
+         mode_, hid_, pend_, xb, yb, bx, n_) = c
+        is_text = mode_ == MODE_TEXT
+        is_struct = ~is_text
+
+        # ---- consume the held hidden (struct rows)
+        coord_logits = region_ops.decode_coordinate(hid_, region_params)
+        val = (
+            jnp.argmax(coord_logits, -1).astype(jnp.float32)
+            / coord_logits.shape[-1]
+        )
+        size_logits = _mlp(hid_, region_params["size_decoder"]).reshape(
+            S, 2, -1
+        )
+        wh = region_ops.size_bin_to_value(jnp.argmax(size_logits, -1))
+
+        # XN rows: stop on EOS / object cap / cache edge (margin 4 keeps
+        # whole objects inside the slot, engine/batched.py:229)
+        xn = is_struct & (mode_ == MODE_XN) & act
+        stop = (
+            (pend_ == eos_id) | (n_ >= max_objects)
+            | (pos_ + 4 >= max_pos) | (bud <= 0)
+        )
+        act = act & ~(xn & stop)
+        xn = xn & ~stop
+
+        yrow = is_struct & (mode_ == MODE_Y) & act
+        srow = is_struct & (mode_ == MODE_SIZE) & act
+
+        # record finished objects: points at Y, boxes at SIZE
+        rec_point = yrow & ~is_box
+        point_row = jnp.stack(
+            [xb, val, jnp.zeros_like(xb), jnp.zeros_like(xb)], -1
+        )
+        box_row = jnp.stack(
+            [xb - wh[:, 0] / 2, yb - wh[:, 1] / 2,
+             xb + wh[:, 0] / 2, yb + wh[:, 1] / 2], -1,
+        )
+        rec = rec_point | srow
+        row = jnp.where(srow[:, None], box_row, point_row)
+        upd = (jnp.arange(max_objects)[None, :] == n_[:, None]) & rec[:, None]
+        bx = jnp.where(upd[..., None], row[:, None, :], bx)
+        n_ = n_ + rec.astype(jnp.int32)
+
+        # buffers + transitions
+        xb = jnp.where(xn, val, xb)
+        yb = jnp.where(yrow, val, yb)
+        new_mode = jnp.where(
+            xn, MODE_Y,
+            jnp.where(
+                yrow, jnp.where(is_box, MODE_SIZE, MODE_XN),
+                jnp.where(srow, MODE_XN, mode_),
+            ),
+        )
+
+        # ---- per-row input embedding (XN rows feed x, Y rows feed y —
+        # both are this iteration's decoded `val`)
+        emb_coord = region_ops.encode_coordinate(
+            val[:, None].astype(emb_dtype), region_params
+        )
+        emb_size = region_ops.encode_size(
+            wh.astype(emb_dtype), region_params
+        )
+        emb_text = text_params["wte"][cur]
+        emb = jnp.where(
+            is_text[:, None], emb_text,
+            jnp.where(srow[:, None], emb_size, emb_coord),
+        ).astype(emb_dtype)
+
+        # text rows record their input token
+        toks = toks.at[:, i].set(jnp.where(act & is_text, cur, 0))
+        emit = emit.at[:, i].set(act & is_text)
+
+        # ---- forward
+        hid_new, kv_ = ragged_hidden_step(
+            text_params, kv_, emb[:, None, :], pos_, config, kv_bound
+        )
+        logits = lm_logits_batched(hid_new, text_params)
+
+        # struct rows hold the new hidden + its continue token
+        hid_ = jnp.where(is_struct[:, None], hid_new, hid_)
+        pend_ = jnp.where(
+            is_struct, jnp.argmax(logits, -1).astype(jnp.int32), pend_
+        )
+        mode_ = jnp.where(act & is_struct, new_mode, mode_)
+
+        # text rows sample (suppressed logits), as in serve_chunk
+        for sid in suppress_ids:
+            logits = logits.at[:, sid].set(NEG_INF)
+        rng_, sub = jax.random.split(rng_)
+        nxt = sample_tokens_batched(logits, sub, temperature, top_p).astype(
+            jnp.int32
+        )
+        bud = bud - act.astype(jnp.int32)
+        text_done = is_text & ((nxt == eos_id) | (bud <= 0))
+        new_act = act & ~text_done & (pos_ + 1 < max_pos)
+        pos_ = jnp.where(act, pos_ + 1, pos_)
+        cur = jnp.where(act & is_text, nxt, cur)
+        return (kv_, cur, pos_, new_act, bud, rng_, toks, emit,
+                mode_, hid_, pend_, xb, yb, bx, n_)
+
+    (kv, cur, pos, active, budget, rng, toks, emit,
+     mode, hid, pending, xbuf, ybuf, boxes, nobj) = jax.lax.fori_loop(
+        0, chunk, body,
+        (kv, cur_tokens, pos, active, budget, rng, toks0, emit0,
+         mode, hid, pending, xbuf, ybuf, boxes, nobj),
+    )
+    return ServeChunkMixedResult(
+        tokens=toks, emitted=emit, active=active, pos=pos, cur=cur,
+        budget=budget, kv=kv, rng=rng, mode=mode, hid=hid, pending=pending,
+        xbuf=xbuf, ybuf=ybuf, boxes=boxes, nobj=nobj,
     )

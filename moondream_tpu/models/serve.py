@@ -45,6 +45,7 @@ class _Slot:
     active: bool = False
     on_text: Optional[Any] = None  # callback(req_id, chunk) per text chunk
     streamer: Optional[Any] = None  # TokenStreamer when on_text is set
+    structured: Optional[str] = None  # None (text) / "detect" / "point"
 
 
 @dataclass
@@ -64,6 +65,11 @@ class PreparedRequest:
     temperature: float
     top_p: float
     released: bool = False
+    # structured (detect/point) requests carry their state-machine seed
+    structured: Optional[str] = None  # "detect" / "point"
+    hidden: Any = None  # prefill's last hidden (feeds the first x decode)
+    include_size: bool = False
+    n_objects: int = 0
 
 
 class ContinuousBatchingEngine:
@@ -78,6 +84,7 @@ class ContinuousBatchingEngine:
         pipeline_depth: int = 1,
         speculative: int = 0,
         spec_adaptive: float = 0.0,
+        max_objects: int = 50,
     ):
         """`pipeline_depth` > 1 overlaps each chunk's host round trip
         (token fetch + callbacks) with the NEXT chunk's device compute:
@@ -141,6 +148,18 @@ class ContinuousBatchingEngine:
             self.hist = jnp.zeros((S, self.slot_len), jnp.int32)
             self.hist_cnt = jnp.zeros((S,), jnp.int32)
 
+        # structured-row (detect/point) state for the mixed pool; tiny,
+        # allocated up front so submit_detect/submit_point can mix freely
+        self.max_objects = int(max_objects)
+        self.mode = jnp.zeros((S,), jnp.int32)  # MODE_TEXT rows
+        self.hidS = jnp.zeros((S, self.config.dim), model.dtype)
+        self.pending = jnp.zeros((S,), jnp.int32)
+        self.xbuf = jnp.zeros((S,), jnp.float32)
+        self.ybuf = jnp.zeros((S,), jnp.float32)
+        self.sboxes = jnp.zeros((S, self.max_objects, 4), jnp.float32)
+        self.nobj = jnp.zeros((S,), jnp.int32)
+        self.is_box = jnp.zeros((S,), jnp.bool_)
+
         self.slots = [_Slot() for _ in range(S)]
         self.results: Dict[int, str] = {}
         self.token_counts: Dict[int, int] = {}  # per finished request
@@ -183,6 +202,25 @@ class ContinuousBatchingEngine:
                     kv_bound=self.slot_len,
                 ),
                 donate_argnums=(1, 6),
+            )
+            self._jits[key] = fn
+        return fn
+
+    def _mixed_chunk_fn(self):
+        key = ("mixed_chunk", self.chunk, self.max_objects)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(
+                    serving.serve_chunk_mixed,
+                    config=self.config,
+                    eos_id=self.model.config.tokenizer.eos_id,
+                    suppress_ids=(self.model.config.tokenizer.answer_id,),
+                    chunk=self.chunk,
+                    max_objects=self.max_objects,
+                    kv_bound=self.slot_len,
+                ),
+                donate_argnums=(2,),
             )
             self._jits[key] = fn
         return fn
@@ -279,8 +317,26 @@ class ContinuousBatchingEngine:
         if prep.released:
             raise ValueError("PreparedRequest was already admitted/released")
         prep.released = True  # _admit consumes (or recycles) the KV buffer
+        slot = free[0]
+        if prep.structured is not None:
+            steps = (3 if prep.include_size else 2) * prep.n_objects + 2
+            req_id = self._admit(
+                prep.kv1, prep.next_token, prep.pos, slot, steps, None,
+                prep.prompt, 0.0, 0.0,
+            )
+            # flip the slot to a structured row: the mixed chunk's state
+            # machine starts at XN with the prefill's hidden + first token
+            self.slots[slot].structured = prep.structured
+            self.mode = self.mode.at[slot].set(serving.MODE_XN)
+            self.hidS = self.hidS.at[slot].set(
+                jnp.reshape(prep.hidden, (-1,))[-self.config.dim:]
+            )
+            self.pending = self.pending.at[slot].set(prep.next_token[()])
+            self.nobj = self.nobj.at[slot].set(0)
+            self.is_box = self.is_box.at[slot].set(bool(prep.include_size))
+            return req_id
         return self._admit(
-            prep.kv1, prep.next_token, prep.pos, free[0], max_tokens,
+            prep.kv1, prep.next_token, prep.pos, slot, max_tokens,
             on_text, prep.prompt, prep.temperature, prep.top_p,
         )
 
@@ -335,6 +391,10 @@ class ContinuousBatchingEngine:
         )
         temp = self.temperature if temperature is None else temperature
         topp = self.top_p if top_p is None else top_p
+        # text row by default; _submit_structured flips mode after _admit.
+        # Without this reset a text request re-using a slot left by a
+        # structured one would inherit its device-side mode.
+        self.mode = self.mode.at[slot].set(0)
         self.temp_row = self.temp_row.at[slot].set(temp)
         self.topp_row = self.topp_row.at[slot].set(topp)
         if temp > 0:
@@ -403,6 +463,69 @@ class ContinuousBatchingEngine:
             )
         return req_ids
 
+    def submit_detect(self, image, object: str, max_objects=None) -> int:
+        """Admit a detect (bounding boxes) request into the SAME pool as
+        text requests: the mixed chunk advances its coordinate state
+        machine ragged alongside caption/VQA rows. Result (drain/step) is
+        {"objects": [{x_min, y_min, x_max, y_max}, ...]} like
+        model.detect."""
+        return self._submit_structured(image, object, "detect", True,
+                                       max_objects)
+
+    def submit_point(self, image, object: str, max_objects=None) -> int:
+        """Admit a point request (mixed pool); result is
+        {"points": [{x, y}, ...]} like model.point."""
+        return self._submit_structured(image, object, "point", False,
+                                       max_objects)
+
+    def _submit_structured(self, image, object, template_key, include_size,
+                           max_objects) -> int:
+        if not self.free_slots():
+            raise RuntimeError("no free slot; step() or drain() first")
+        prep = self.prepare_structured(
+            image, object, template_key, include_size, max_objects
+        )
+        return self.admit_prepared(prep)
+
+    def prepare_structured(self, image, object: str, template_key: str,
+                           include_size: bool,
+                           max_objects=None) -> PreparedRequest:
+        """Encode + prefill a detect/point request without touching the
+        pool (the structured analog of prepare(); same serialization
+        contract)."""
+        if self.spec_k:
+            raise ValueError(
+                "structured requests are not supported with speculative "
+                "serving (speculative=0 to mix detect/point into the pool)"
+            )
+        n_obj = self.max_objects if max_objects is None else int(max_objects)
+        if n_obj > self.max_objects:
+            raise ValueError(
+                f"max_objects={n_obj} exceeds the pool's max_objects="
+                f"{self.max_objects} (set at engine construction)"
+            )
+        model = self.model
+        templates = model.config.tokenizer.templates[template_key]
+        if templates is None:
+            raise NotImplementedError(
+                f"Model does not support {template_key}."
+            )
+        enc = model.encode_image(image)
+        kv1 = model.load_encoded_image(enc)
+        prompt = (
+            list(templates["prefix"])
+            + model._encode_text(" " + object)
+            + list(templates["suffix"])
+        )
+        _, hidden, next_token, pos, kv1 = model._prefill_prompt(
+            kv1, prompt, enc.pos, temperature=0.0, top_p=0.0
+        )
+        return PreparedRequest(
+            kv1, next_token, pos, prompt, 0.0, 0.0,
+            structured=template_key, hidden=hidden,
+            include_size=include_size, n_objects=n_obj,
+        )
+
     def step(self) -> List[int]:
         """Advance all active slots by one chunk. Returns req_ids finished
         in this step (with pipeline_depth > 1, results lag one chunk)."""
@@ -423,7 +546,19 @@ class ContinuousBatchingEngine:
         else:
             t_arg = jnp.float32(self.temperature)
             p_arg = jnp.float32(self.top_p)
-        if self.spec_k and self._sampling_used:
+        use_mixed = any(s.active and s.structured for s in self.slots)
+        if use_mixed:
+            res = self._mixed_chunk_fn()(
+                self.model.params["text"], self.model.params["region"],
+                self.kv, self.cur, self.pos, self.active, self.budget,
+                self.rng, t_arg, p_arg, self.mode, self.hidS, self.pending,
+                self.xbuf, self.ybuf, self.sboxes, self.nobj, self.is_box,
+            )
+            self.rng = res.rng
+            self.mode, self.hidS, self.pending = res.mode, res.hid, res.pending
+            self.xbuf, self.ybuf = res.xbuf, res.ybuf
+            self.sboxes, self.nobj = res.boxes, res.nobj
+        elif self.spec_k and self._sampling_used:
             res = self._spec_chunk_fn()(
                 self.model.params["text"], self.kv, self.cur, self.pos,
                 self.active, self.budget, self.hist, self.hist_cnt,
@@ -446,7 +581,10 @@ class ContinuousBatchingEngine:
         self.cur, self.pos = res.cur, res.pos
         self.active, self.budget = res.active, res.budget
         try:  # start the D2H copy now so the later device_get doesn't wait
-            for x in (res.tokens, res.emitted, res.active):
+            fetch = [res.tokens, res.emitted, res.active]
+            if use_mixed:
+                fetch += [res.boxes, res.nobj]
+            for x in fetch:
                 x.copy_to_host_async()
         except Exception:
             pass
@@ -456,7 +594,9 @@ class ContinuousBatchingEngine:
         owners = {
             i: s.req_id for i, s in enumerate(self.slots) if s.active
         }
-        self._inflight.append((res, owners, bool(self.spec_k)))
+        self._inflight.append(
+            (res, owners, bool(self.spec_k) and not use_mixed)
+        )
 
     @property
     def spec_accept_rate(self) -> Optional[float]:
@@ -473,9 +613,17 @@ class ContinuousBatchingEngine:
         res, owners, was_spec = self._inflight.pop(0)
         # ONE host transfer for the whole chunk (separate np.asarray calls
         # would each pay the tunnel's round-trip jitter)
-        toks, emitted_mask, still_active = jax.device_get(
-            (res.tokens, res.emitted, res.active)
-        )
+        is_mixed = hasattr(res, "nobj")
+        if is_mixed:
+            toks, emitted_mask, still_active, boxes_h, nobj_h = (
+                jax.device_get(
+                    (res.tokens, res.emitted, res.active, res.boxes, res.nobj)
+                )
+            )
+        else:
+            toks, emitted_mask, still_active = jax.device_get(
+                (res.tokens, res.emitted, res.active)
+            )
 
         if was_spec and owners:
             self._spec_tokens += int(emitted_mask.sum())
@@ -508,13 +656,35 @@ class ContinuousBatchingEngine:
                     tail = slot.streamer.finish()
                     if tail:
                         slot.on_text(slot.req_id, tail)
-                self.results[slot.req_id] = "".join(
-                    stream_text(slot.tokens, self.model._decode_tokens)
-                )
-                self.token_counts[slot.req_id] = len(slot.tokens)
+                if slot.structured is not None and is_mixed:
+                    self.results[slot.req_id] = self._format_structured(
+                        slot.structured, boxes_h[i][: int(nobj_h[i])]
+                    )
+                    self.token_counts[slot.req_id] = 0
+                else:
+                    self.results[slot.req_id] = "".join(
+                        stream_text(slot.tokens, self.model._decode_tokens)
+                    )
+                    self.token_counts[slot.req_id] = len(slot.tokens)
                 finished.append(slot.req_id)
         self._trim_history()
         return finished
+
+    @staticmethod
+    def _format_structured(kind: str, rows) -> dict:
+        if kind == "detect":
+            return {
+                "objects": [
+                    {
+                        "x_min": float(b[0]), "y_min": float(b[1]),
+                        "x_max": float(b[2]), "y_max": float(b[3]),
+                    }
+                    for b in rows
+                ]
+            }
+        return {
+            "points": [{"x": float(b[0]), "y": float(b[1])} for b in rows]
+        }
 
     def _trim_history(self) -> None:
         while len(self.results) > RESULTS_CAP:
@@ -534,6 +704,17 @@ class ContinuousBatchingEngine:
                     tail = slot.streamer.finish()
                     if tail:
                         slot.on_text(slot.req_id, tail)
+                if slot.structured is not None:
+                    # objects found before the cancel
+                    self.results[req_id] = self._format_structured(
+                        slot.structured,
+                        np.asarray(self.sboxes[i])[
+                            : int(jax.device_get(self.nobj[i]))
+                        ],
+                    )
+                    self.token_counts[req_id] = 0
+                    self._trim_history()
+                    return True
                 self.results[req_id] = "".join(
                     stream_text(slot.tokens, self.model._decode_tokens)
                 )

@@ -249,7 +249,8 @@ class ServingFrontend:
                  chunk: int = 8, temperature: float = 0.0, top_p: float = 0.0,
                  speculative: int = 0, spec_adaptive: float = 0.0,
                  struct_window_s: float = 0.02, encode_cache: int = 0,
-                 encode_window_s: float = 0.0, mesh=None):
+                 encode_window_s: float = 0.0, mesh=None,
+                 struct_pool: bool = False):
         from .models.serve import ContinuousBatchingEngine
 
         engine_kw = dict(
@@ -272,6 +273,14 @@ class ServingFrontend:
         else:
             self.engine = ContinuousBatchingEngine(model, **engine_kw)
         self.model = model
+        # detect/point through the continuous pool (mixed chunks) instead
+        # of the single-path + same-object coalescer: heterogeneous
+        # objects and text requests advance together in one fused step
+        self.struct_pool = bool(struct_pool)
+        if self.struct_pool and speculative:
+            raise ValueError(
+                "struct_pool is not supported with speculative serving"
+            )
         self._lock = threading.Lock()  # pool state: step / admit / results
         # model-level work (encode+prefill of admissions, detect/point):
         # serialized among themselves but NOT against the pool stepper —
@@ -395,13 +404,35 @@ class ServingFrontend:
         )
         return out
 
+    def _wait_and_admit(self, prep, deadline, ev, max_tokens, on_text):
+        """Spin (stepper-signaled) for a free slot, then admit. Raises
+        TimeoutError past the deadline, releasing the prepared buffer."""
+        while True:
+            with self._lock:
+                if self.engine.free_slots():
+                    rid = self.engine.admit_prepared(
+                        prep, max_tokens=max_tokens, on_text=on_text
+                    )
+                    self._done[rid] = ev
+                    self._wake.set()
+                    return rid
+                self._slot_freed.clear()
+            if time.monotonic() > deadline:
+                self.engine.release_prepared(prep)
+                raise TimeoutError("no free slot before timeout")
+            # woken by the stepper when a request finishes (50ms
+            # fallback covers cancel-freed slots)
+            self._slot_freed.wait(timeout=0.05)
+
     def _prepare_and_admit(self, image, question, length, max_tokens,
                            deadline, ev, temperature, top_p, on_text=None,
-                           image_key=None):
+                           image_key=None, structured=None, obj=None):
         """Shared admission: encode+prefill outside the pool lock (the
         stepper keeps advancing everyone else's decode), then spin briefly
         for a free slot. Returns the req_id; raises TimeoutError past the
-        deadline (releasing the prepared KV buffer)."""
+        deadline (releasing the prepared KV buffer). With `structured`
+        ("detect"/"point") the request becomes a pooled coordinate-decode
+        row for `obj` instead of a text row."""
         if not self._admission_sem.acquire(
             timeout=max(0.0, deadline - time.monotonic())
         ):
@@ -409,26 +440,17 @@ class ServingFrontend:
         try:
             image = self._resolve_image(image, image_key)
             with self._model_lock:
-                prep = self.engine.prepare(
-                    image, question=question, caption_length=length,
-                    temperature=temperature, top_p=top_p,
-                )
-            while True:
-                with self._lock:
-                    if self.engine.free_slots():
-                        rid = self.engine.admit_prepared(
-                            prep, max_tokens=max_tokens, on_text=on_text
-                        )
-                        self._done[rid] = ev
-                        self._wake.set()
-                        return rid
-                    self._slot_freed.clear()
-                if time.monotonic() > deadline:
-                    self.engine.release_prepared(prep)
-                    raise TimeoutError("no free slot before timeout")
-                # woken by the stepper when a request finishes (50ms
-                # fallback covers cancel-freed slots)
-                self._slot_freed.wait(timeout=0.05)
+                if structured is not None:
+                    prep = self.engine.prepare_structured(
+                        image, obj, structured, structured == "detect",
+                    )
+                else:
+                    prep = self.engine.prepare(
+                        image, question=question, caption_length=length,
+                        temperature=temperature, top_p=top_p,
+                    )
+            return self._wait_and_admit(prep, deadline, ev, max_tokens,
+                                        on_text)
         finally:
             self._admission_sem.release()
 
@@ -601,12 +623,29 @@ class ServingFrontend:
         self.metrics.observe("gaze", time.monotonic() - t0, ok=True)
         return out
 
+    def _structured_via_pool(self, kind, image, obj, image_key,
+                             timeout_s: float = 300.0):
+        ev = threading.Event()
+        deadline = time.monotonic() + timeout_s
+        rid = self._prepare_and_admit(
+            image, None, None, 0, deadline, ev, None, None,
+            image_key=image_key, structured=kind, obj=obj,
+        )
+        if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
+            self._abandon(rid)
+            raise TimeoutError("structured request timed out")
+        out, _ = self._pop_result(rid)
+        return out
+
     def structured_request(self, kind: str, image, obj: str,
                            image_key: Optional[str] = None) -> Any:
         t0 = time.monotonic()
         try:
-            image = self._resolve_image(image, image_key)
-            out = self._batcher.request(kind, image, obj)
+            if self.struct_pool:
+                out = self._structured_via_pool(kind, image, obj, image_key)
+            else:
+                image = self._resolve_image(image, image_key)
+                out = self._batcher.request(kind, image, obj)
         except Exception:
             self.metrics.observe(kind, time.monotonic() - t0, ok=False)
             raise
@@ -909,14 +948,15 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 temperature: float = 0.0, top_p: float = 0.0,
                 speculative: int = 0, spec_adaptive: float = 0.0,
                 struct_window_s: float = 0.02, encode_cache: int = 0,
-                encode_window_s: float = 0.0, mesh=None):
+                encode_window_s: float = 0.0, mesh=None,
+                struct_pool: bool = False):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
         temperature=temperature, top_p=top_p, speculative=speculative,
         spec_adaptive=spec_adaptive, struct_window_s=struct_window_s,
         encode_cache=encode_cache, encode_window_s=encode_window_s,
-        mesh=mesh,
+        mesh=mesh, struct_pool=struct_pool,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -971,6 +1011,12 @@ def main():
                              "seconds). Off by default: the batched ViT is "
                              "allclose-but-not-bit-identical to the single "
                              "path, so near-tie greedy tokens can differ")
+    parser.add_argument("--struct-pool", action="store_true",
+                        help="route detect/point through the continuous "
+                             "batching pool (mixed text+structured "
+                             "chunks): heterogeneous objects and text "
+                             "advance in one fused step; incompatible "
+                             "with --spec")
     parser.add_argument("--struct-window", type=float, default=0.02,
                         metavar="S",
                         help="coalescing window for concurrent same-object "
@@ -1017,6 +1063,7 @@ def main():
         speculative=args.spec, spec_adaptive=args.spec_adaptive,
         struct_window_s=args.struct_window, encode_cache=args.encode_cache,
         encode_window_s=args.encode_window, mesh=mesh,
+        struct_pool=args.struct_pool,
     )
     if mesh is not None:
         # the frontend serves the sharded-params twin; dropping main's

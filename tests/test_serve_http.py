@@ -643,3 +643,46 @@ def test_chat_multi_turn_keeps_image(server):
             ],
         }]})
     assert e.value.code == 400
+
+
+def test_struct_pool_server(model):
+    """--struct-pool: detect/point ride the continuous pool (mixed
+    chunks) concurrently with captions; all return proper structure."""
+    srv, frontend = make_server(
+        model, "127.0.0.1", 0, n_slots=4, chunk=4, struct_pool=True
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        results = {}
+
+        def detect(i, obj):
+            _, body = _post(base, "/v1/detect", {
+                "image_b64": _image_b64(40 + i), "object": obj,
+            })
+            results[f"d{i}"] = body
+
+        def caption(i):
+            _, body = _post(base, "/v1/caption", {
+                "image_b64": _image_b64(44 + i), "max_tokens": 8,
+            })
+            results[f"c{i}"] = body
+
+        threads = [
+            threading.Thread(target=detect, args=(0, "cat")),
+            threading.Thread(target=detect, args=(1, "dog")),  # different obj
+            threading.Thread(target=caption, args=(0,)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert "objects" in results["d0"] and "objects" in results["d1"]
+        assert isinstance(results["c0"]["caption"], str)
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            h = json.loads(r.read())
+        assert h["free"] == h["slots"]
+    finally:
+        srv.shutdown()
+        frontend.shutdown()

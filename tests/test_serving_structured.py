@@ -1,0 +1,132 @@
+"""Structured decode (detect/point) through the continuous-batching pool
+(engine/serving.py:serve_chunk_mixed): coordinate state machines advance
+ragged alongside free-text rows in ONE fused chunk per step.
+
+Exactness oracle: with peaked coordinate/size decoders (margin >> batched
+reduction-order noise, same trick as tests/test_batched.py:86) the pooled
+path must reproduce model.detect/model.point exactly while a caption
+sharing the pool stays byte-identical to the sequential engine."""
+
+import copy
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from moondream_tpu.config import tiny_test_config
+from moondream_tpu.models.moondream import MoondreamModel
+from moondream_tpu.models.serve import ContinuousBatchingEngine
+from moondream_tpu.tokenizer import ByteTokenizer
+from moondream_tpu.utils.streaming import stream_text
+
+GREEDY = {"temperature": 0.0, "top_p": 0.0}
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = MoondreamModel(tiny_test_config(), tokenizer=ByteTokenizer(), seed=0)
+    # peak the coordinate/size decoders so every argmax is decisive:
+    # ties under batched reduction order would otherwise make pooled vs
+    # single comparisons flaky on random weights
+    rng = np.random.default_rng(3)
+    region = copy.deepcopy(m.params["region"])
+    for site in ("coord_decoder", "size_decoder"):
+        b = np.asarray(region[site]["fc2"]["b"], np.float32)
+        region[site]["fc2"]["b"] = jnp.asarray(
+            b + rng.standard_normal(b.shape).astype(np.float32) * 50
+        ).astype(m.params["region"][site]["fc2"]["b"].dtype)
+    m.params["region"] = region
+    return m
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(0)
+    return [
+        Image.fromarray(
+            rng.integers(0, 255, (90 + 25 * i, 120, 3), np.uint8)
+        )
+        for i in range(3)
+    ]
+
+
+def _sequential_caption(model, image, max_tokens):
+    enc = model.encode_image(image)
+    kv = model.load_encoded_image(enc)
+    prompt = list(model.config.tokenizer.templates["caption"]["normal"])
+    _, _, next_token, pos, kv = model._prefill_prompt(
+        kv, prompt, enc.pos, 0.0, 0.0
+    )
+    toks = model._generate_answer_tokens(
+        kv, next_token, pos, {**GREEDY, "max_tokens": max_tokens}
+    )
+    return "".join(stream_text(toks, model._decode_tokens))
+
+
+def test_pooled_detect_point_match_single(model, images):
+    S = {"max_objects": 5}
+    want_det = model.detect(images[0], "object", settings=S)
+    want_pts = model.point(images[1], "thing", settings=S)
+
+    eng = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=3, max_objects=5
+    )
+    r_det = eng.submit_detect(images[0], "object")
+    r_pts = eng.submit_point(images[1], "thing")
+    out = eng.drain()
+    assert out[r_det] == want_det
+    assert out[r_pts] == want_pts
+
+
+def test_mixed_text_and_structured_pool(model, images):
+    """A caption, a detect, and a point share the pool; each must equal
+    its single-path result, and a text request admitted into the slot a
+    structured request vacated must decode correctly (mode reset)."""
+    S = {"max_objects": 4}
+    want_cap = _sequential_caption(model, images[2], 12)
+    want_det = model.detect(images[0], "object", settings=S)
+    want_pts = model.point(images[1], "thing", settings=S)
+
+    eng = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=3, max_objects=4
+    )
+    r_cap = eng.submit(images[2], max_tokens=12)
+    r_det = eng.submit_detect(images[0], "object")
+    eng.step()
+    r_pts = eng.submit_point(images[1], "thing")
+    out = eng.drain()
+    assert out[r_cap] == want_cap
+    assert out[r_det] == want_det
+    assert out[r_pts] == want_pts
+
+    # slot reuse: text after structured in the same pool
+    r_cap2 = eng.submit(images[0], max_tokens=8)
+    out = eng.drain()
+    assert out[r_cap2] == _sequential_caption(model, images[0], 8)
+
+
+def test_structured_cancel_and_spec_guard(model, images):
+    eng = ContinuousBatchingEngine(
+        model, n_slots=2, slot_len=1024, chunk=2, max_objects=5
+    )
+    rid = eng.submit_detect(images[0], "object")
+    eng.step()
+    assert eng.cancel(rid) is True
+    out = eng.results[rid]
+    assert "objects" in out  # partial (possibly empty) boxes
+
+    # pool keeps working after the cancel
+    r2 = eng.submit_point(images[1], "thing")
+    out = eng.drain()
+    assert "points" in out[r2]
+
+    spec_eng = ContinuousBatchingEngine(
+        model, n_slots=2, slot_len=1024, chunk=2, speculative=4
+    )
+    with pytest.raises(ValueError, match="speculative"):
+        spec_eng.submit_detect(images[0], "object")
+
+    with pytest.raises(ValueError, match="max_objects"):
+        eng.submit_detect(images[0], "object", max_objects=50)
