@@ -130,3 +130,67 @@ def test_structured_cancel_and_spec_guard(model, images):
 
     with pytest.raises(ValueError, match="max_objects"):
         eng.submit_detect(images[0], "object", max_objects=50)
+
+
+def test_structured_pool_with_int8_kv(images):
+    """Mixed chunks compose with the int8 KV cache: pooled detect equals
+    the single-path detect on the same kv8 model."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, kv_int8=True)
+    )
+    m = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
+    rng = np.random.default_rng(3)
+    region = copy.deepcopy(m.params["region"])
+    for site in ("coord_decoder", "size_decoder"):
+        b = np.asarray(region[site]["fc2"]["b"], np.float32)
+        region[site]["fc2"]["b"] = jnp.asarray(
+            b + rng.standard_normal(b.shape).astype(np.float32) * 50
+        ).astype(m.params["region"][site]["fc2"]["b"].dtype)
+    m.params["region"] = region
+
+    S = {"max_objects": 4}
+    want = m.detect(images[0], "object", settings=S)
+    eng = ContinuousBatchingEngine(
+        m, n_slots=2, slot_len=1024, chunk=3, max_objects=4
+    )
+    rid = eng.submit_detect(images[0], "object")
+    out = eng.drain()
+    assert out[rid] == want
+
+
+def test_structured_pool_sharded(model, images):
+    """Mixed chunks compose with the tensor-parallel pool: pooled detect
+    over a dp x tp mesh equals the single-device pooled result."""
+    import dataclasses
+
+    import jax
+
+    from moondream_tpu.parallel import make_sharded_serving_engine
+    from moondream_tpu.parallel.mesh import create_mesh
+
+    cfg = dataclasses.replace(
+        model.config,
+        text=dataclasses.replace(model.config.text, xla_attn=True),
+    )
+    xmodel = MoondreamModel(
+        cfg, params=model.params, tokenizer=ByteTokenizer()
+    )
+    ref_eng = ContinuousBatchingEngine(
+        xmodel, n_slots=4, slot_len=1024, chunk=3, max_objects=4
+    )
+    r0 = ref_eng.submit_detect(images[0], "object")
+    r1 = ref_eng.submit(images[1], max_tokens=8)
+    ref = ref_eng.drain()
+
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    eng = make_sharded_serving_engine(
+        xmodel, mesh, n_slots=4, slot_len=1024, chunk=3, max_objects=4
+    )
+    s0 = eng.submit_detect(images[0], "object")
+    s1 = eng.submit(images[1], max_tokens=8)
+    out = eng.drain()
+    assert out[s0] == ref[r0]
+    assert out[s1] == ref[r1]
