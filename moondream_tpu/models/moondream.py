@@ -1401,11 +1401,10 @@ class MoondreamModel:
         ]
 
     # ----------------------------------------------------------------- gaze
-    def _detect_gaze(
-        self, encoded: EncodedImage, source: Tuple[float, float], force_detect=False
-    ):
-        """Reference moondream.py:831-882: the prompt is built in embedding
-        space — "\\n\\nPoint:" + coord embeds + " gaze\\n\\n"."""
+    def _gaze_prefill(self, kv, pos0: int, source: Tuple[float, float]):
+        """Prefill the embedding-space gaze prompt ("\\n\\nPoint:" + coord
+        embeds + " gaze\\n\\n", reference moondream.py:831-859) onto `kv` at
+        `pos0`. Returns (hidden, next_token(argmax), new_pos, kv)."""
         wte = self.params["text"]["wte"]
         before = wte[jnp.asarray([self._encode_text("\n\nPoint:")])]
         after = wte[jnp.asarray([self._encode_text(" gaze\n\n")])]
@@ -1423,17 +1422,26 @@ class MoondreamModel:
         if pad > length:
             embeds = jnp.pad(embeds, ((0, 0), (0, pad - length), (0, 0)))
 
-        kv = self.load_encoded_image(encoded)
-        logits, hidden, kv = self._prefill_fn(self._kv_bound(encoded.pos + pad))(
+        logits, hidden, kv = self._prefill_fn(self._kv_bound(pos0 + pad))(
             self.params["text"], kv, embeds,
-            jnp.int32(encoded.pos), jnp.int32(length),
+            jnp.int32(pos0), jnp.int32(length),
             jnp.int32(self.config.text.prefix_attn),
         )
-        pos = encoded.pos + length
         next_token = jnp.argmax(logits, -1).astype(jnp.int32)
+        return hidden, next_token, pos0 + length, kv
+
+    def _detect_gaze(
+        self, encoded: EncodedImage, source: Tuple[float, float], force_detect=False
+    ):
+        """Reference moondream.py:884-973 accuracy path core."""
+        kv = self.load_encoded_image(encoded)
+        hidden, next_token, pos, kv = self._gaze_prefill(
+            kv, encoded.pos, source
+        )
         if force_detect:
             next_token = jnp.int32(0)
         if int(next_token) == self.config.tokenizer.eos_id:
+            self._recycle_kv(kv)
             return None
 
         res = self._points_fn(False, 1, self._decode_bound(pos + 4))(

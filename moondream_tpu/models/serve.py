@@ -478,6 +478,38 @@ class ContinuousBatchingEngine:
         return self._submit_structured(image, object, "point", False,
                                        max_objects)
 
+    def submit_gaze(self, image, eye, force_detect: bool = False) -> int:
+        """Admit a gaze-detection request into the pool (the reference's
+        worst-latency path, moondream.py:884-973): the embedding-space
+        prompt prefills once, then the 2-step point decode rides the
+        mixed chunks. Result is {"gaze": {"x", "y"} | None} like
+        model.detect_gaze."""
+        if not self.free_slots():
+            raise RuntimeError("no free slot; step() or drain() first")
+        prep = self.prepare_gaze(image, eye, force_detect)
+        return self.admit_prepared(prep)
+
+    def prepare_gaze(self, image, eye,
+                     force_detect: bool = False) -> PreparedRequest:
+        if self.spec_k:
+            raise ValueError(
+                "structured requests are not supported with speculative "
+                "serving (speculative=0 to mix gaze into the pool)"
+            )
+        model = self.model
+        enc = model.encode_image(image)
+        kv1 = model.load_encoded_image(enc)
+        hidden, next_token, pos, kv1 = model._gaze_prefill(
+            kv1, enc.pos, tuple(eye)
+        )
+        if force_detect:
+            next_token = jnp.int32(0)
+        return PreparedRequest(
+            kv1, next_token, pos, [], 0.0, 0.0,
+            structured="gaze", hidden=hidden,
+            include_size=False, n_objects=1,
+        )
+
     def _submit_structured(self, image, object, template_key, include_size,
                            max_objects) -> int:
         if not self.free_slots():
@@ -682,6 +714,10 @@ class ContinuousBatchingEngine:
                     for b in rows
                 ]
             }
+        if kind == "gaze":
+            if len(rows) == 0:
+                return {"gaze": None}
+            return {"gaze": {"x": float(rows[0][0]), "y": float(rows[0][1])}}
         return {
             "points": [{"x": float(b[0]), "y": float(b[1])} for b in rows]
         }

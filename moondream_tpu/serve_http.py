@@ -440,7 +440,10 @@ class ServingFrontend:
         try:
             image = self._resolve_image(image, image_key)
             with self._model_lock:
-                if structured is not None:
+                if structured == "gaze":
+                    # obj carries the (x, y) eye source for gaze rows
+                    prep = self.engine.prepare_gaze(image, obj)
+                elif structured is not None:
                     prep = self.engine.prepare_structured(
                         image, obj, structured, structured == "detect",
                     )
@@ -614,9 +617,14 @@ class ServingFrontend:
     def gaze_request(self, image, eye, image_key: Optional[str] = None):
         t0 = time.monotonic()
         try:
-            image = self._resolve_image(image, image_key)
-            with self._model_lock:
-                out = self.model.detect_gaze(image, eye=eye)
+            if self.struct_pool:
+                out = self._structured_via_pool(
+                    "gaze", image, eye, image_key
+                )
+            else:
+                image = self._resolve_image(image, image_key)
+                with self._model_lock:
+                    out = self.model.detect_gaze(image, eye=eye)
         except Exception:
             self.metrics.observe("gaze", time.monotonic() - t0, ok=False)
             raise

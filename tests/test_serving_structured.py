@@ -194,3 +194,29 @@ def test_structured_pool_sharded(model, images):
     out = eng.drain()
     assert out[s0] == ref[r0]
     assert out[s1] == ref[r1]
+
+
+def test_pooled_gaze_matches_single(model, images):
+    """Gaze through the pool equals model.detect_gaze (same embedding-
+    space prompt prefill + 2-step point decode, pooled)."""
+    want = model.detect_gaze(images[0], eye=(0.4, 0.3))
+    eng = ContinuousBatchingEngine(
+        model, n_slots=2, slot_len=1024, chunk=3, max_objects=4
+    )
+    rid = eng.submit_gaze(images[0], (0.4, 0.3))
+    out = eng.drain()
+    assert out[rid] == want
+
+    # mixes with text + detect in one pool
+    S = {"max_objects": 3}
+    want_det = model.detect(images[1], "object", settings=S)
+    eng2 = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=3, max_objects=3
+    )
+    r_g = eng2.submit_gaze(images[0], (0.4, 0.3))
+    r_d = eng2.submit_detect(images[1], "object")
+    r_c = eng2.submit(images[2], max_tokens=8)
+    out = eng2.drain()
+    assert out[r_g] == want
+    assert out[r_d] == want_det
+    assert out[r_c] == _sequential_caption(model, images[2], 8)
