@@ -34,6 +34,24 @@ from .batched import lm_logits_batched, sample_tokens_batched
 NEG_INF = -1e30
 
 
+def _lora_delta(x: jax.Array, pair: dict, vids: jax.Array) -> jax.Array:
+    """Per-row low-rank residual for multi-variant serving: row s applies
+    adapter `vids[s]`. `pair` holds variant-stacked factors
+    {"A": (V, r, in), "B": (V, out, r)} in the torch (out, in) factor
+    layout (lora.variant_state_dict / lora.stack_variant_pytrees, variant
+    0 = all-zeros base); x is (S, Tq, in). Matches lora_linear semantics
+    — y += (x @ Aᵀ) @ Bᵀ accumulated in fp32 — per row. V and r are tiny
+    next to the dense matmuls, so the gathers and rank-r dots are noise."""
+    a_rows = pair["A"][vids]  # (S, r, in)
+    b_rows = pair["B"][vids]  # (S, out, r)
+    a = jnp.einsum(
+        "std,srd->str", x, a_rows, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "str,sor->sto", a, b_rows, preferred_element_type=jnp.float32
+    )
+
+
 def _ragged_attn(
     x: jax.Array,
     w: dict,
@@ -44,16 +62,22 @@ def _ragged_attn(
     config: TextConfig,
     kv_bound: Optional[int],
     quant: Optional[dict] = None,
+    lora_l: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One ragged decode attention layer: per-row positions everywhere.
     x may be a SPAN (S, Tq, D) with Tq > 1 (speculative verify): row s's
     query i sits at position pos[s] + i, cache writes land as per-row
-    Tq-token spans, and the ragged span kernel masks col <= pos[s] + i."""
+    Tq-token spans, and the ragged span kernel masks col <= pos[s] + i.
+    `lora_l`/`vids`: per-row LoRA adapters (one layer's variant-stacked
+    {"qkv"/"proj": {A, B}} factors) for multi-variant serving."""
     bsz, q_len = x.shape[0], x.shape[1]
     if quant is not None:
         qkv = text_ops._q_lin(x, quant["qkv"], w["qkv"]["b"], layer)
     else:
         qkv = linear(x, w["qkv"])
+    if lora_l is not None:
+        qkv = qkv + _lora_delta(x, lora_l["qkv"], vids).astype(qkv.dtype)
     q, k, v = text_ops._split_qkv(qkv, config)
 
     # (S, Tq) per-row positions
@@ -128,10 +152,15 @@ def _ragged_attn(
         out = sdpa(q, k_l, v_l, mask)
 
     out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
+    proj_in = out
     if quant is not None:
         out = text_ops._q_lin(out, quant["proj"], w["proj"]["b"], layer)
     else:
         out = linear(out, w["proj"])
+    if lora_l is not None:
+        out = out + _lora_delta(
+            proj_in, lora_l["proj"], vids
+        ).astype(out.dtype)
     return out, kv
 
 
@@ -142,32 +171,58 @@ def ragged_hidden_step(
     pos: jax.Array,  # (S,)
     config: TextConfig,
     kv_bound: Optional[int] = None,
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One decoder forward for the whole slot pool at per-row positions,
     from caller-supplied input embeddings (text tokens, coordinate
     embeddings, size embeddings — the mixed structured/text pool feeds
-    different embedding kinds per row). Returns ((S, D) hidden, cache)."""
+    different embedding kinds per row). Returns ((S, D) hidden, cache).
+
+    `loras`/`vids`: multi-variant serving — `loras` is the
+    lora.stack_variant_pytrees layout (leaves (L, V, r, d), variant 0 =
+    zero base adapter) and `vids[s]` picks row s's adapter. Composes
+    with runtime-int4 base weights (the low-rank residual is added after
+    the quantized matmul, exactly like the dense path)."""
     blocks_q = text_params.get("blocks_q")  # int4 runtime weights (closure)
+    from ..ops.layers import gelu_approx
 
     def block(carry, layer_in):
         h, kv_ = carry
-        bw, lidx = layer_in
+        bw, lidx, lora_l = layer_in
         ln_in = layer_norm(h, bw["ln"])
         attn_out, kv_ = _ragged_attn(
             ln_in, bw["attn"], text_params["freqs_cis"], kv_,
             lidx, pos, config, kv_bound,
             quant=blocks_q["attn"] if blocks_q else None,
+            lora_l=lora_l["attn"] if lora_l is not None else None,
+            vids=vids,
         )
+        lora_mlp = lora_l["mlp"] if lora_l is not None else None
         if blocks_q is not None:
-            from ..ops.layers import gelu_approx
-
             m = text_ops._q_lin(
                 ln_in, blocks_q["mlp"]["fc1"], bw["mlp"]["fc1"]["b"], lidx
             )
+            if lora_mlp is not None:
+                m = m + _lora_delta(ln_in, lora_mlp["fc1"], vids).astype(
+                    m.dtype
+                )
+            g = gelu_approx(m)
             mlp_out = text_ops._q_lin(
-                gelu_approx(m), blocks_q["mlp"]["fc2"], bw["mlp"]["fc2"]["b"],
-                lidx,
+                g, blocks_q["mlp"]["fc2"], bw["mlp"]["fc2"]["b"], lidx
             )
+            if lora_mlp is not None:
+                mlp_out = mlp_out + _lora_delta(
+                    g, lora_mlp["fc2"], vids
+                ).astype(mlp_out.dtype)
+        elif lora_mlp is not None:
+            m = linear(ln_in, bw["mlp"]["fc1"])
+            m = m + _lora_delta(ln_in, lora_mlp["fc1"], vids).astype(m.dtype)
+            g = gelu_approx(m)
+            mlp_out = linear(g, bw["mlp"]["fc2"])
+            mlp_out = mlp_out + _lora_delta(
+                g, lora_mlp["fc2"], vids
+            ).astype(mlp_out.dtype)
         else:
             mlp_out = mlp(ln_in, bw["mlp"])
         return (h + attn_out + mlp_out, kv_), None
@@ -175,6 +230,7 @@ def ragged_hidden_step(
     xs = (
         text_params["blocks"],
         jnp.arange(config.n_layers, dtype=jnp.int32),
+        loras,
     )
     (hidden, kv_new), _ = jax.lax.scan(block, (x, kv), xs)
     return hidden[:, 0], kv_new
@@ -187,12 +243,14 @@ def ragged_decode_step(
     pos: jax.Array,  # (S,)
     config: TextConfig,
     kv_bound: Optional[int] = None,
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step for the whole slot pool at per-row positions.
     Returns ((S, V) logits, new cache)."""
     x = text_params["wte"][tokens][:, None, :]
     hidden, kv_new = ragged_hidden_step(
-        text_params, kv, x, pos, config, kv_bound
+        text_params, kv, x, pos, config, kv_bound, loras=loras, vids=vids
     )
     return lm_logits_batched(hidden, text_params), kv_new
 
@@ -218,6 +276,9 @@ def serve_chunk(
     rng: jax.Array,
     temperature: jax.Array,
     top_p: jax.Array,
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
+    *,
     config: TextConfig,
     eos_id: int,
     suppress_ids: Tuple[int, ...],
@@ -226,7 +287,8 @@ def serve_chunk(
 ) -> ServeChunkResult:
     """Advance every active slot by up to `chunk` tokens in one jitted
     device loop. Inactive slots hold position (their cache writes land on
-    a frozen slot index and are never attended by others)."""
+    a frozen slot index and are never attended by others).
+    `loras`/`vids`: per-slot LoRA variants (see ragged_hidden_step)."""
     S = cur_tokens.shape[0]
     toks0 = jnp.zeros((S, chunk), jnp.int32)
     emit0 = jnp.zeros((S, chunk), jnp.bool_)
@@ -238,7 +300,8 @@ def serve_chunk(
         emit = emit.at[:, i].set(act)
 
         logits, kv_ = ragged_decode_step(
-            text_params, kv_, cur, pos_, config, kv_bound
+            text_params, kv_, cur, pos_, config, kv_bound,
+            loras=loras, vids=vids,
         )
         for sid in suppress_ids:
             logits = logits.at[:, sid].set(NEG_INF)
@@ -674,6 +737,9 @@ def serve_chunk_mixed(
     boxes: jax.Array,  # (S, max_objects, 4) f32
     nobj: jax.Array,  # (S,) int32
     is_box: jax.Array,  # (S,) bool — detect (boxes) vs point rows
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
+    *,
     config: TextConfig,
     eos_id: int,
     suppress_ids: Tuple[int, ...],
@@ -780,7 +846,8 @@ def serve_chunk_mixed(
 
         # ---- forward
         hid_new, kv_ = ragged_hidden_step(
-            text_params, kv_, emb[:, None, :], pos_, config, kv_bound
+            text_params, kv_, emb[:, None, :], pos_, config, kv_bound,
+            loras=loras, vids=vids,
         )
         logits = lm_logits_batched(hid_new, text_params)
 

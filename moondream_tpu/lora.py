@@ -175,3 +175,43 @@ def merge_variant(text_params: dict, lora: dict, scale: float = 1.0) -> dict:
         },
     }
     return merged
+
+
+def stack_variant_pytrees(loras):
+    """Stack V adapters for per-slot multi-variant serving.
+
+    Input: a list of stacked LoRA pytrees (the `variant_state_dict`
+    layout — leaves (L, r, in) / (L, out, r)). Output: the same structure
+    with a VARIANT axis inserted after the layer axis — leaves
+    (L, V+1, r_max, in) / (L, V+1, out, r_max) — where variant index 0 is
+    an all-zeros base adapter (so `vid == 0` means "no adapter" in the
+    serving pool) and narrower-rank adapters are zero-padded to the widest
+    rank (zero rows contribute nothing to (x @ Aᵀ) @ Bᵀ).
+
+    The (L, V, ...) ordering keeps the layer axis leading so the decode
+    scan slices one layer's (V, ...) factor stack per step; the per-row
+    gather by vid happens inside the step (engine/serving._lora_delta)."""
+    if not loras:
+        raise ValueError("stack_variant_pytrees needs at least one adapter")
+
+    def pad_stack(pairs, rank_axis_a, rank_axis_b):
+        rmax = max(int(p["A"].shape[rank_axis_a]) for p in pairs)
+
+        def pad(x, axis):
+            width = [(0, 0)] * x.ndim
+            width[axis] = (0, rmax - x.shape[axis])
+            return jnp.pad(x, width)
+
+        a_list = [pad(p["A"], rank_axis_a) for p in pairs]
+        b_list = [pad(p["B"], rank_axis_b) for p in pairs]
+        A = jnp.stack([jnp.zeros_like(a_list[0])] + a_list, axis=1)
+        B = jnp.stack([jnp.zeros_like(b_list[0])] + b_list, axis=1)
+        return {"A": A, "B": B}
+
+    return {
+        grp: {
+            site: pad_stack([l[grp][site] for l in loras], 1, 2)
+            for site in sites
+        }
+        for grp, sites in (("attn", ("qkv", "proj")), ("mlp", ("fc1", "fc2")))
+    }

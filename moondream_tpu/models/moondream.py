@@ -603,7 +603,15 @@ class MoondreamModel:
 
     # ------------------------------------------------------------- prefill
     def _variant(self, settings) -> Optional[dict]:
-        if settings is None or settings.get("variant") is None:
+        if settings is None:
+            return None
+        # "variant_tree": an already-loaded stacked adapter pytree (the
+        # serving engine holds its tenants' adapters in memory and must
+        # apply them to the image prefill too — reference semantics put
+        # the adapter in EVERY text forward, lora.py via text.py:31-58)
+        if settings.get("variant_tree") is not None:
+            return settings["variant_tree"]
+        if settings.get("variant") is None:
             return None
         from ..lora import variant_state_dict
 

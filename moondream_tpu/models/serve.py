@@ -65,6 +65,9 @@ class PreparedRequest:
     temperature: float
     top_p: float
     released: bool = False
+    # multi-variant serving: index into the engine's stacked adapters
+    # (0 = base model — the all-zeros adapter)
+    vid: int = 0
     # structured (detect/point) requests carry their state-machine seed
     structured: Optional[str] = None  # "detect" / "point"
     hidden: Any = None  # prefill's last hidden (feeds the first x decode)
@@ -85,6 +88,7 @@ class ContinuousBatchingEngine:
         speculative: int = 0,
         spec_adaptive: float = 0.0,
         max_objects: int = 50,
+        variants: Optional[Dict[str, Any]] = None,
     ):
         """`pipeline_depth` > 1 overlaps each chunk's host round trip
         (token fetch + callbacks) with the NEXT chunk's device compute:
@@ -109,7 +113,17 @@ class ContinuousBatchingEngine:
         after a warm-up of 8 chunks — a spec iteration costs ~20% more
         than a plain step, so below ~1.2 accepted tokens/iteration the
         plain chunks win. Requests may also pass an EncodedImage to
-        submit()/submit_many() to reuse a cached encode."""
+        submit()/submit_many() to reuse a cached encode.
+
+        `variants`: multi-variant (multi-tenant LoRA) serving — a dict
+        mapping variant name -> stacked adapter pytree (the
+        `lora.variant_state_dict` layout). Requests pick an adapter via
+        `submit(..., variant=name)`; every decode chunk stays ONE fused
+        program, each row applying its own adapter's low-rank residual
+        (engine/serving._lora_delta). Adapters of different ranks are
+        zero-padded to the widest; vid 0 is the base model. Composes
+        with runtime-int4 base weights and per-request sampling; not
+        yet supported together with `speculative`."""
         self.model = model
         self.config = model.config.text
         self.n_slots = n_slots
@@ -147,6 +161,27 @@ class ContinuousBatchingEngine:
         if self.spec_k:
             self.hist = jnp.zeros((S, self.slot_len), jnp.int32)
             self.hist_cnt = jnp.zeros((S,), jnp.int32)
+
+        # multi-variant LoRA serving: variant-stacked adapter factors
+        # (leaves (L, V+1, r, d), index 0 = zero base) + per-slot vids
+        self._variants: Dict[str, Any] = dict(variants or {})
+        self._loras = None
+        self._vid_of: Dict[Optional[str], int] = {None: 0}
+        if self._variants:
+            if self.spec_k:
+                raise ValueError(
+                    "speculative decoding does not yet support per-slot "
+                    "LoRA variants; construct the engine with one or the "
+                    "other"
+                )
+            from ..lora import stack_variant_pytrees
+
+            names = list(self._variants)
+            self._loras = stack_variant_pytrees(
+                [self._variants[n] for n in names]
+            )
+            self._vid_of.update({n: i + 1 for i, n in enumerate(names)})
+        self.vid = jnp.zeros((S,), jnp.int32)
 
         # structured-row (detect/point) state for the mixed pool; tiny,
         # allocated up front so submit_detect/submit_point can mix freely
@@ -246,6 +281,7 @@ class ContinuousBatchingEngine:
         on_text=None,
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
+        variant: Optional[str] = None,
     ) -> int:
         """Admit one request (caption by default; VQA when `question` is
         given). Blocks stepping the pool only for this request's prefill.
@@ -256,12 +292,15 @@ class ContinuousBatchingEngine:
         the pool's); greedy and sampled requests mix in one pool.
         `on_text(req_id, chunk)`: optional per-request streaming callback,
         invoked from step() with word-boundary-safe text chunks as the
-        request decodes (same flushing rules as the single-stream API)."""
+        request decodes (same flushing rules as the single-stream API).
+        `variant`: name of a LoRA adapter registered at construction —
+        this request decodes through that adapter while sharing the pool
+        with base and other-variant requests."""
         if not self.free_slots():
             raise RuntimeError("no free slot; step() or drain() first")
         prep = self.prepare(
             image, question=question, caption_length=caption_length,
-            temperature=temperature, top_p=top_p,
+            temperature=temperature, top_p=top_p, variant=variant,
         )
         return self.admit_prepared(prep, max_tokens=max_tokens, on_text=on_text)
 
@@ -272,6 +311,7 @@ class ContinuousBatchingEngine:
         caption_length: str = "normal",
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
+        variant: Optional[str] = None,
     ) -> PreparedRequest:
         """Encode + prefill a request WITHOUT touching the pool state, so a
         server thread can run it while another thread keeps step()ping the
@@ -285,8 +325,15 @@ class ContinuousBatchingEngine:
         tok_cfg = model.config.tokenizer
         temp = self.temperature if temperature is None else temperature
         topp = self.top_p if top_p is None else top_p
+        lora, vid = self._resolve_variant(variant)
 
-        enc = model.encode_image(image)
+        # the adapter applies to the [BOS, image] prefill too (reference
+        # puts LoRA in every text forward). A pre-encoded EncodedImage is
+        # used as-is: the caller must have encoded it under the SAME
+        # variant (the HTTP frontend keys its encode cache by variant).
+        enc = model.encode_image(
+            image, settings={"variant_tree": lora} if lora is not None else None
+        )
         kv1 = model.load_encoded_image(enc)
         if question is None:
             prompt = list(tok_cfg.templates["caption"][caption_length])
@@ -298,9 +345,22 @@ class ContinuousBatchingEngine:
                 + list(t["suffix"])
             )
         _, _, next_token, pos, kv1 = model._prefill_prompt(
-            kv1, prompt, enc.pos, temp, topp
+            kv1, prompt, enc.pos, temp, topp, lora=lora
         )
-        return PreparedRequest(kv1, next_token, pos, prompt, temp, topp)
+        return PreparedRequest(
+            kv1, next_token, pos, prompt, temp, topp, vid=vid
+        )
+
+    def _resolve_variant(self, variant: Optional[str]):
+        """Map a variant name to (prefill adapter pytree, pool vid)."""
+        if variant is None:
+            return None, 0
+        if variant not in self._variants:
+            raise KeyError(
+                f"unknown variant {variant!r}; registered: "
+                f"{sorted(self._variants)}"
+            )
+        return self._variants[variant], self._vid_of[variant]
 
     def admit_prepared(
         self,
@@ -322,7 +382,7 @@ class ContinuousBatchingEngine:
             steps = (3 if prep.include_size else 2) * prep.n_objects + 2
             req_id = self._admit(
                 prep.kv1, prep.next_token, prep.pos, slot, steps, None,
-                prep.prompt, 0.0, 0.0,
+                prep.prompt, 0.0, 0.0, vid=prep.vid,
             )
             # flip the slot to a structured row: the mixed chunk's state
             # machine starts at XN with the prefill's hidden + first token
@@ -338,6 +398,7 @@ class ContinuousBatchingEngine:
         return self._admit(
             prep.kv1, prep.next_token, prep.pos, slot, max_tokens,
             on_text, prep.prompt, prep.temperature, prep.top_p,
+            vid=prep.vid,
         )
 
     def release_prepared(self, prep: PreparedRequest) -> None:
@@ -349,7 +410,7 @@ class ContinuousBatchingEngine:
 
     def _admit(
         self, kv1, next_token, pos, slot, max_tokens, on_text=None,
-        prompt_tokens=None, temperature=None, top_p=None,
+        prompt_tokens=None, temperature=None, top_p=None, vid=0,
     ) -> int:
         """Snapshot a prefilled request into `slot`. Rejects prompts that
         don't leave room to generate (the slot holds prompt + generated
@@ -395,6 +456,7 @@ class ContinuousBatchingEngine:
         # Without this reset a text request re-using a slot left by a
         # structured one would inherit its device-side mode.
         self.mode = self.mode.at[slot].set(0)
+        self.vid = self.vid.at[slot].set(vid)
         self.temp_row = self.temp_row.at[slot].set(temp)
         self.topp_row = self.topp_row.at[slot].set(topp)
         if temp > 0:
@@ -425,10 +487,12 @@ class ContinuousBatchingEngine:
         on_text=None,
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
+        variant: Optional[str] = None,
     ) -> List[int]:
         """Admit a burst of requests with ONE batched image encode
         (`encode_images`) instead of per-request ViT calls. All requests
-        share the same prompt kind. Requires enough free slots."""
+        share the same prompt kind (and `variant` adapter, if given).
+        Requires enough free slots."""
         free = self.free_slots()
         if len(free) < len(images):
             raise RuntimeError(
@@ -436,7 +500,11 @@ class ContinuousBatchingEngine:
             )
         model = self.model
         tok_cfg = model.config.tokenizer
-        encs = model.encode_images(list(images))
+        lora, vid = self._resolve_variant(variant)
+        encs = model.encode_images(
+            list(images),
+            settings={"variant_tree": lora} if lora is not None else None,
+        )
         if question is None:
             prompt = list(tok_cfg.templates["caption"][caption_length])
         else:
@@ -453,30 +521,32 @@ class ContinuousBatchingEngine:
         for enc, slot in zip(encs, free):
             kv1 = model.load_encoded_image(enc)
             _, _, next_token, pos, kv1 = model._prefill_prompt(
-                kv1, prompt, enc.pos, temp, topp
+                kv1, prompt, enc.pos, temp, topp, lora=lora
             )
             req_ids.append(
                 self._admit(
                     kv1, next_token, pos, slot, max_tokens, on_text, prompt,
-                    temp, topp,
+                    temp, topp, vid=vid,
                 )
             )
         return req_ids
 
-    def submit_detect(self, image, object: str, max_objects=None) -> int:
+    def submit_detect(self, image, object: str, max_objects=None,
+                      variant: Optional[str] = None) -> int:
         """Admit a detect (bounding boxes) request into the SAME pool as
         text requests: the mixed chunk advances its coordinate state
         machine ragged alongside caption/VQA rows. Result (drain/step) is
         {"objects": [{x_min, y_min, x_max, y_max}, ...]} like
         model.detect."""
         return self._submit_structured(image, object, "detect", True,
-                                       max_objects)
+                                       max_objects, variant=variant)
 
-    def submit_point(self, image, object: str, max_objects=None) -> int:
+    def submit_point(self, image, object: str, max_objects=None,
+                     variant: Optional[str] = None) -> int:
         """Admit a point request (mixed pool); result is
         {"points": [{x, y}, ...]} like model.point."""
         return self._submit_structured(image, object, "point", False,
-                                       max_objects)
+                                       max_objects, variant=variant)
 
     def submit_gaze(self, image, eye, force_detect: bool = False) -> int:
         """Admit a gaze-detection request into the pool (the reference's
@@ -511,17 +581,19 @@ class ContinuousBatchingEngine:
         )
 
     def _submit_structured(self, image, object, template_key, include_size,
-                           max_objects) -> int:
+                           max_objects, variant=None) -> int:
         if not self.free_slots():
             raise RuntimeError("no free slot; step() or drain() first")
         prep = self.prepare_structured(
-            image, object, template_key, include_size, max_objects
+            image, object, template_key, include_size, max_objects,
+            variant=variant,
         )
         return self.admit_prepared(prep)
 
     def prepare_structured(self, image, object: str, template_key: str,
                            include_size: bool,
-                           max_objects=None) -> PreparedRequest:
+                           max_objects=None,
+                           variant: Optional[str] = None) -> PreparedRequest:
         """Encode + prefill a detect/point request without touching the
         pool (the structured analog of prepare(); same serialization
         contract)."""
@@ -542,7 +614,10 @@ class ContinuousBatchingEngine:
             raise NotImplementedError(
                 f"Model does not support {template_key}."
             )
-        enc = model.encode_image(image)
+        lora, vid = self._resolve_variant(variant)
+        enc = model.encode_image(
+            image, settings={"variant_tree": lora} if lora is not None else None
+        )
         kv1 = model.load_encoded_image(enc)
         prompt = (
             list(templates["prefix"])
@@ -550,12 +625,12 @@ class ContinuousBatchingEngine:
             + list(templates["suffix"])
         )
         _, hidden, next_token, pos, kv1 = model._prefill_prompt(
-            kv1, prompt, enc.pos, temperature=0.0, top_p=0.0
+            kv1, prompt, enc.pos, temperature=0.0, top_p=0.0, lora=lora
         )
         return PreparedRequest(
             kv1, next_token, pos, prompt, 0.0, 0.0,
             structured=template_key, hidden=hidden,
-            include_size=include_size, n_objects=n_obj,
+            include_size=include_size, n_objects=n_obj, vid=vid,
         )
 
     def step(self) -> List[int]:
@@ -579,12 +654,17 @@ class ContinuousBatchingEngine:
             t_arg = jnp.float32(self.temperature)
             p_arg = jnp.float32(self.top_p)
         use_mixed = any(s.active and s.structured for s in self.slots)
+        lora_kw = (
+            {"loras": self._loras, "vids": self.vid}
+            if self._loras is not None else {}
+        )
         if use_mixed:
             res = self._mixed_chunk_fn()(
                 self.model.params["text"], self.model.params["region"],
                 self.kv, self.cur, self.pos, self.active, self.budget,
                 self.rng, t_arg, p_arg, self.mode, self.hidS, self.pending,
                 self.xbuf, self.ybuf, self.sboxes, self.nobj, self.is_box,
+                **lora_kw,
             )
             self.rng = res.rng
             self.mode, self.hidS, self.pending = res.mode, res.hid, res.pending
@@ -607,6 +687,7 @@ class ContinuousBatchingEngine:
             res = self._chunk_fn()(
                 self.model.params["text"], self.kv, self.cur, self.pos,
                 self.active, self.budget, self.rng, t_arg, p_arg,
+                **lora_kw,
             )
             self.rng = res.rng
         self.kv = res.kv

@@ -250,7 +250,7 @@ class ServingFrontend:
                  speculative: int = 0, spec_adaptive: float = 0.0,
                  struct_window_s: float = 0.02, encode_cache: int = 0,
                  encode_window_s: float = 0.0, mesh=None,
-                 struct_pool: bool = False):
+                 struct_pool: bool = False, variants=None):
         from .models.serve import ContinuousBatchingEngine
 
         engine_kw = dict(
@@ -260,6 +260,10 @@ class ServingFrontend:
             # overlap each chunk's host round trip with the next chunk's
             # device compute; costs one chunk of streaming latency
             pipeline_depth=2,
+            # multi-tenant LoRA: {name: stacked adapter pytree}; requests
+            # pick one with {"variant": name} and decode through it in
+            # the same fused pool chunks as base rows
+            variants=variants,
         )
         if mesh is not None:
             # multi-chip serving: decode chunks run SPMD over the mesh
@@ -344,23 +348,37 @@ class ServingFrontend:
         with self._model_lock:
             return self.engine.model.encode_images(list(images))
 
-    def _resolve_image(self, image, key: Optional[str]):
+    def _resolve_image(self, image, key: Optional[str],
+                       variant: Optional[str] = None):
         """Get an EncodedImage for `image`: content cache first, then the
         (optional) shared-window batched encode, else a single encode.
         When neither cache nor batching is configured and no key is known,
-        the raw image passes through (the downstream path encodes it)."""
+        the raw image passes through (the downstream path encodes it).
+
+        `variant`: an adapter applies to the image prefill too, so the
+        encode cache keys by (variant, content) — a base-weights snapshot
+        must never serve a variant row (or vice versa). Variant encodes
+        skip the shared-window batcher (one settings per batched encode)."""
         from .models.moondream import EncodedImage
 
         if isinstance(image, EncodedImage):
             return image
+        if variant is not None and key is not None:
+            key = f"{variant}\x00{key}"
         enc = self._cache_get(key)
         if enc is not None:
             return enc
-        if self._enc_batcher is not None:
+        if self._enc_batcher is not None and variant is None:
             enc = self._enc_batcher.request("encode", image, "")
         elif self.encode_cache and key is not None:
             with self._model_lock:
-                enc = self.engine.model.encode_image(image)
+                if variant is None:
+                    enc = self.engine.model.encode_image(image)
+                else:
+                    lora, _ = self.engine._resolve_variant(variant)
+                    enc = self.engine.model.encode_image(
+                        image, settings={"variant_tree": lora}
+                    )
         else:
             return image
         self._cache_put(key, enc)
@@ -388,13 +406,14 @@ class ServingFrontend:
                      max_tokens: int, timeout_s: float = 300.0,
                      temperature: Optional[float] = None,
                      top_p: Optional[float] = None,
-                     image_key: Optional[str] = None) -> str:
+                     image_key: Optional[str] = None,
+                     variant: Optional[str] = None) -> str:
         endpoint = "caption" if question is None else "query"
         t0 = time.monotonic()
         try:
             out, n_tokens = self._text_request(
                 image, question, length, max_tokens, timeout_s,
-                temperature, top_p, image_key,
+                temperature, top_p, image_key, variant,
             )
         except Exception:
             self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
@@ -426,7 +445,8 @@ class ServingFrontend:
 
     def _prepare_and_admit(self, image, question, length, max_tokens,
                            deadline, ev, temperature, top_p, on_text=None,
-                           image_key=None, structured=None, obj=None):
+                           image_key=None, structured=None, obj=None,
+                           variant=None):
         """Shared admission: encode+prefill outside the pool lock (the
         stepper keeps advancing everyone else's decode), then spin briefly
         for a free slot. Returns the req_id; raises TimeoutError past the
@@ -438,7 +458,7 @@ class ServingFrontend:
         ):
             raise TimeoutError("admission queue full before timeout")
         try:
-            image = self._resolve_image(image, image_key)
+            image = self._resolve_image(image, image_key, variant=variant)
             with self._model_lock:
                 if structured == "gaze":
                     # obj carries the (x, y) eye source for gaze rows
@@ -446,11 +466,13 @@ class ServingFrontend:
                 elif structured is not None:
                     prep = self.engine.prepare_structured(
                         image, obj, structured, structured == "detect",
+                        variant=variant,
                     )
                 else:
                     prep = self.engine.prepare(
                         image, question=question, caption_length=length,
                         temperature=temperature, top_p=top_p,
+                        variant=variant,
                     )
             return self._wait_and_admit(prep, deadline, ev, max_tokens,
                                         on_text)
@@ -472,12 +494,12 @@ class ServingFrontend:
         self._done.pop(rid, None)
 
     def _text_request(self, image, question, length, max_tokens, timeout_s,
-                      temperature, top_p, image_key=None):
+                      temperature, top_p, image_key=None, variant=None):
         ev = threading.Event()
         deadline = time.monotonic() + timeout_s
         rid = self._prepare_and_admit(
             image, question, length, max_tokens, deadline, ev,
-            temperature, top_p, image_key=image_key,
+            temperature, top_p, image_key=image_key, variant=variant,
         )
         if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
             self._abandon(rid)
@@ -490,7 +512,8 @@ class ServingFrontend:
                             temperature: Optional[float] = None,
                             top_p: Optional[float] = None,
                             image_key: Optional[str] = None,
-                            endpoint: Optional[str] = None):
+                            endpoint: Optional[str] = None,
+                            variant: Optional[str] = None):
         """Generator of word-boundary-safe text chunks for one request
         (the engine's per-request on_text callback bridged through a
         queue). Concatenated chunks equal the non-streaming result.
@@ -509,7 +532,7 @@ class ServingFrontend:
                 image, question, length, max_tokens, deadline, ev,
                 temperature, top_p,
                 on_text=lambda _rid, chunk: q.put(chunk),
-                image_key=image_key,
+                image_key=image_key, variant=variant,
             )
         except Exception:
             self.metrics.observe(endpoint, time.monotonic() - t0, ok=False)
@@ -632,12 +655,12 @@ class ServingFrontend:
         return out
 
     def _structured_via_pool(self, kind, image, obj, image_key,
-                             timeout_s: float = 300.0):
+                             timeout_s: float = 300.0, variant=None):
         ev = threading.Event()
         deadline = time.monotonic() + timeout_s
         rid = self._prepare_and_admit(
             image, None, None, 0, deadline, ev, None, None,
-            image_key=image_key, structured=kind, obj=obj,
+            image_key=image_key, structured=kind, obj=obj, variant=variant,
         )
         if not ev.wait(timeout=max(0.0, deadline - time.monotonic())):
             self._abandon(rid)
@@ -646,11 +669,19 @@ class ServingFrontend:
         return out
 
     def structured_request(self, kind: str, image, obj: str,
-                           image_key: Optional[str] = None) -> Any:
+                           image_key: Optional[str] = None,
+                           variant: Optional[str] = None) -> Any:
         t0 = time.monotonic()
         try:
             if self.struct_pool:
-                out = self._structured_via_pool(kind, image, obj, image_key)
+                out = self._structured_via_pool(
+                    kind, image, obj, image_key, variant=variant
+                )
+            elif variant is not None:
+                raise ValueError(
+                    "detect/point with a variant requires --struct-pool "
+                    "(pooled structured decode)"
+                )
             else:
                 image = self._resolve_image(image, image_key)
                 out = self._batcher.request(kind, image, obj)
@@ -664,6 +695,8 @@ class ServingFrontend:
         with self._lock:
             free = len(self.engine.free_slots())
         out: Dict[str, Any] = {"slots": self.engine.n_slots, "free": free}
+        if self.engine._variants:
+            out["variants"] = sorted(self.engine._variants)
         if self.engine.spec_k or self.engine.spec_accept_rate is not None:
             out["speculative"] = self.engine.spec_k
             rate = self.engine.spec_accept_rate
@@ -792,7 +825,7 @@ class _Handler(BaseHTTPRequestHandler):
         })
 
     def _stream_sse(self, image, question, length, max_tokens, temp,
-                    top_p, image_key=None):
+                    top_p, image_key=None, variant=None):
         """`"stream": true` responses: text/event-stream of
         `data: {"chunk": ...}` events, terminated by `data: [DONE]`.
         The first chunk is pulled BEFORE headers go out so admission
@@ -800,6 +833,7 @@ class _Handler(BaseHTTPRequestHandler):
         gen = self.frontend.text_request_stream(
             image, question, length, max_tokens,
             temperature=temp, top_p=top_p, image_key=image_key,
+            variant=variant,
         )
         it = iter(gen)
         try:
@@ -866,16 +900,18 @@ class _Handler(BaseHTTPRequestHandler):
             temp = None if temp is None else float(temp)
             top_p = None if top_p is None else float(top_p)
             stream = _parse_bool(payload.get("stream"))
+            variant = payload.get("variant")
             if self.path == "/v1/caption":
                 if stream:
                     self._stream_sse(
                         image, None, payload.get("length", "normal"),
-                        max_tokens, temp, top_p, image_key,
+                        max_tokens, temp, top_p, image_key, variant=variant,
                     )
                     return
                 out = self.frontend.text_request(
                     image, None, payload.get("length", "normal"), max_tokens,
                     temperature=temp, top_p=top_p, image_key=image_key,
+                    variant=variant,
                 )
                 self._json(200, {"caption": out})
             elif self.path == "/v1/query":
@@ -910,12 +946,13 @@ class _Handler(BaseHTTPRequestHandler):
                 if stream:
                     self._stream_sse(
                         image, payload["question"], "normal",
-                        max_tokens, temp, top_p, image_key,
+                        max_tokens, temp, top_p, image_key, variant=variant,
                     )
                     return
                 out = self.frontend.text_request(
                     image, payload["question"], "normal", max_tokens,
                     temperature=temp, top_p=top_p, image_key=image_key,
+                    variant=variant,
                 )
                 self._json(200, {"answer": out})
             elif self.path == "/v1/detect":
@@ -923,7 +960,7 @@ class _Handler(BaseHTTPRequestHandler):
                     200,
                     self.frontend.structured_request(
                         "detect", image, payload["object"],
-                        image_key=image_key,
+                        image_key=image_key, variant=variant,
                     ),
                 )
             elif self.path == "/v1/gaze":
@@ -938,7 +975,7 @@ class _Handler(BaseHTTPRequestHandler):
                     200,
                     self.frontend.structured_request(
                         "point", image, payload["object"],
-                        image_key=image_key,
+                        image_key=image_key, variant=variant,
                     ),
                 )
             else:
@@ -957,14 +994,14 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 speculative: int = 0, spec_adaptive: float = 0.0,
                 struct_window_s: float = 0.02, encode_cache: int = 0,
                 encode_window_s: float = 0.0, mesh=None,
-                struct_pool: bool = False):
+                struct_pool: bool = False, variants=None):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
         temperature=temperature, top_p=top_p, speculative=speculative,
         spec_adaptive=spec_adaptive, struct_window_s=struct_window_s,
         encode_cache=encode_cache, encode_window_s=encode_window_s,
-        mesh=mesh, struct_pool=struct_pool,
+        mesh=mesh, struct_pool=struct_pool, variants=variants,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -1030,6 +1067,15 @@ def main():
                         help="coalescing window for concurrent same-object "
                              "detect/point requests (one batched decode "
                              "per group); 0 disables")
+    parser.add_argument("--variant", action="append", default=[],
+                        metavar="NAME=PATH_OR_ID",
+                        help="register a LoRA adapter for multi-tenant "
+                             "serving (repeatable). PATH_OR_ID is a local "
+                             "adapter checkpoint or a Moondream variant "
+                             "id. Requests select one with "
+                             '{"variant": NAME}; rows with different '
+                             "adapters (and base rows) decode in the same "
+                             "fused pool chunks")
     args = parser.parse_args()
 
     from .finetune import resolve_config
@@ -1064,6 +1110,22 @@ def main():
     model = MoondreamModel(
         config, params=params, tokenizer=load_tokenizer(args.tokenizer)
     )
+    variants = None
+    if args.variant:
+        import jax.numpy as jnp
+
+        from .lora import variant_state_dict
+
+        variants = {}
+        for spec in args.variant:
+            name, _, src = spec.partition("=")
+            if not src:
+                raise SystemExit(f"--variant {spec!r}: expected NAME=PATH")
+            variants[name] = variant_state_dict(
+                src, n_layers=config.text.n_layers,
+                dtype_str=str(jnp.dtype(model.dtype)),
+            )
+        print(f"variants registered: {sorted(variants)}")
     server, frontend = make_server(
         model, args.host, args.port,
         n_slots=args.slots, slot_len=args.slot_len, chunk=args.chunk,
@@ -1071,7 +1133,7 @@ def main():
         speculative=args.spec, spec_adaptive=args.spec_adaptive,
         struct_window_s=args.struct_window, encode_cache=args.encode_cache,
         encode_window_s=args.encode_window, mesh=mesh,
-        struct_pool=args.struct_pool,
+        struct_pool=args.struct_pool, variants=variants,
     )
     if mesh is not None:
         # the frontend serves the sharded-params twin; dropping main's

@@ -213,3 +213,59 @@ def test_sharded_vision_encoder_bit_exact(base_model, images):
     )
     r = ref_eng.submit(images[0], max_tokens=8)
     assert out[rid] == ref_eng.drain()[r]
+
+
+def test_sharded_pool_with_variants(base_model, images):
+    """Per-slot LoRA adapters through the tp-sharded pool: the stacked
+    factors and (S,) vids ride the SPMD chunk as replicated inputs, so
+    outputs equal the single-device variant pool byte-for-byte."""
+    import jax.numpy as jnp
+
+    cfg = base_model.config.text
+    rng = np.random.default_rng(5)
+
+    def pair(fin, fout, rank=4, b_scale=0.5):
+        return {
+            "A": jnp.asarray(
+                rng.standard_normal(
+                    (cfg.n_layers, rank, fin)
+                ).astype(np.float32) * 0.1,
+                base_model.dtype,
+            ),
+            "B": jnp.asarray(
+                rng.standard_normal(
+                    (cfg.n_layers, fout, rank)
+                ).astype(np.float32) * b_scale,
+                base_model.dtype,
+            ),
+        }
+
+    tree = {
+        "attn": {
+            "qkv": pair(cfg.dim, cfg.qkv_dim),
+            "proj": pair(cfg.dim, cfg.dim),
+        },
+        "mlp": {
+            "fc1": pair(cfg.dim, cfg.ff_dim),
+            "fc2": pair(cfg.ff_dim, cfg.dim),
+        },
+    }
+
+    ref_eng = ContinuousBatchingEngine(
+        base_model, n_slots=4, slot_len=1024, chunk=4,
+        variants={"v": tree},
+    )
+    r0 = ref_eng.submit(images[0], max_tokens=8, variant="v")
+    r1 = ref_eng.submit(images[1], max_tokens=8)
+    ref = ref_eng.drain()
+
+    mesh = create_mesh({"dp": 4, "tp": 2})
+    eng = make_sharded_serving_engine(
+        base_model, mesh, n_slots=4, slot_len=1024, chunk=4,
+        variants={"v": tree},
+    )
+    s0 = eng.submit(images[0], max_tokens=8, variant="v")
+    s1 = eng.submit(images[1], max_tokens=8)
+    out = eng.drain()
+    assert out[s0] == ref[r0]
+    assert out[s1] == ref[r1]

@@ -686,3 +686,73 @@ def test_struct_pool_server(model):
     finally:
         srv.shutdown()
         frontend.shutdown()
+
+
+def test_variants_endpoint(model):
+    """Multi-tenant LoRA over HTTP: a zero-B adapter's response is
+    bitwise the base response (plumbing), a real adapter changes it,
+    base requests are unaffected, and unknown names are 400s."""
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config().text
+    rng = np.random.default_rng(7)
+
+    def adapter(b_scale, rank=4):
+        def pair(fin, fout):
+            return {
+                "A": jnp.asarray(
+                    rng.standard_normal(
+                        (cfg.n_layers, rank, fin)
+                    ).astype(np.float32) * 0.1,
+                    model.dtype,
+                ),
+                "B": jnp.asarray(
+                    rng.standard_normal(
+                        (cfg.n_layers, fout, rank)
+                    ).astype(np.float32) * b_scale,
+                    model.dtype,
+                ),
+            }
+
+        return {
+            "attn": {
+                "qkv": pair(cfg.dim, cfg.qkv_dim),
+                "proj": pair(cfg.dim, cfg.dim),
+            },
+            "mlp": {
+                "fc1": pair(cfg.dim, cfg.ff_dim),
+                "fc2": pair(cfg.ff_dim, cfg.dim),
+            },
+        }
+
+    srv, frontend = make_server(
+        model, "127.0.0.1", 0, n_slots=3, chunk=4,
+        variants={"zero": adapter(0.0), "tuned": adapter(0.5)},
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base_url = f"http://127.0.0.1:{port}"
+    try:
+        img = _image_b64(seed=11)
+        payload = {"image_b64": img, "question": "what?", "max_tokens": 8}
+        _, base = _post(base_url, "/v1/query", payload)
+        _, zero = _post(
+            base_url, "/v1/query", {**payload, "variant": "zero"}
+        )
+        _, tuned = _post(
+            base_url, "/v1/query", {**payload, "variant": "tuned"}
+        )
+        assert zero["answer"] == base["answer"]
+        assert tuned["answer"] != base["answer"]
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base_url, "/v1/query", {**payload, "variant": "nope"})
+        assert e.value.code == 400
+        assert "unknown variant" in json.loads(e.value.read())["error"]
+
+        with urllib.request.urlopen(base_url + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["variants"] == ["tuned", "zero"]
+    finally:
+        srv.shutdown()
+        frontend.shutdown()
