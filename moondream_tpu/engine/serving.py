@@ -333,33 +333,54 @@ def ragged_verify_step(
     pos: jax.Array,  # (S,)
     config: TextConfig,
     kv_bound: Optional[int] = None,
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One speculative verify forward for the whole slot pool: every row
     feeds a k-token span at its own position. Returns ((S, k) greedy
     continuation ids as fp32 logits argmax inputs — here full (S, k, V)
-    logits, new cache)."""
+    logits, new cache). `loras`/`vids`: per-row adapters applied to the
+    whole span (see ragged_hidden_step; _lora_delta handles Tq = k)."""
     x = text_params["wte"][q_toks]  # (S, k, D)
     blocks_q = text_params.get("blocks_q")
+    from ..ops.layers import gelu_approx
 
     def block(carry, layer_in):
         h, kv_ = carry
-        bw, lidx = layer_in
+        bw, lidx, lora_l = layer_in
         ln_in = layer_norm(h, bw["ln"])
         attn_out, kv_ = _ragged_attn(
             ln_in, bw["attn"], text_params["freqs_cis"], kv_,
             lidx, pos, config, kv_bound,
             quant=blocks_q["attn"] if blocks_q else None,
+            lora_l=lora_l["attn"] if lora_l is not None else None,
+            vids=vids,
         )
+        lora_mlp = lora_l["mlp"] if lora_l is not None else None
         if blocks_q is not None:
-            from ..ops.layers import gelu_approx
-
             m = text_ops._q_lin(
                 ln_in, blocks_q["mlp"]["fc1"], bw["mlp"]["fc1"]["b"], lidx
             )
+            if lora_mlp is not None:
+                m = m + _lora_delta(ln_in, lora_mlp["fc1"], vids).astype(
+                    m.dtype
+                )
+            g = gelu_approx(m)
             mlp_out = text_ops._q_lin(
-                gelu_approx(m), blocks_q["mlp"]["fc2"], bw["mlp"]["fc2"]["b"],
-                lidx,
+                g, blocks_q["mlp"]["fc2"], bw["mlp"]["fc2"]["b"], lidx
             )
+            if lora_mlp is not None:
+                mlp_out = mlp_out + _lora_delta(
+                    g, lora_mlp["fc2"], vids
+                ).astype(mlp_out.dtype)
+        elif lora_mlp is not None:
+            m = linear(ln_in, bw["mlp"]["fc1"])
+            m = m + _lora_delta(ln_in, lora_mlp["fc1"], vids).astype(m.dtype)
+            g = gelu_approx(m)
+            mlp_out = linear(g, bw["mlp"]["fc2"])
+            mlp_out = mlp_out + _lora_delta(
+                g, lora_mlp["fc2"], vids
+            ).astype(mlp_out.dtype)
         else:
             mlp_out = mlp(ln_in, bw["mlp"])
         return (h + attn_out + mlp_out, kv_), None
@@ -367,6 +388,7 @@ def ragged_verify_step(
     xs = (
         text_params["blocks"],
         jnp.arange(config.n_layers, dtype=jnp.int32),
+        loras,
     )
     (hidden, kv_new), _ = jax.lax.scan(block, (x, kv), xs)
     S, k, D = hidden.shape
@@ -395,6 +417,9 @@ def serve_chunk_spec(
     budget: jax.Array,  # (S,) int32
     hist: jax.Array,  # (S, H) int32 emitted history per slot
     hist_cnt: jax.Array,  # (S,) int32
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
+    *,
     config: TextConfig,
     eos_id: int,
     suppress_ids: Tuple[int, ...],
@@ -452,7 +477,8 @@ def serve_chunk_spec(
         # ---- one ragged span verify forward for the whole pool
         q_toks = jnp.concatenate([cur[:, None], draft], axis=1)  # (S, k)
         logits, kv_ = ragged_verify_step(
-            text_params, kv_, q_toks, pos_, config, kv_bound
+            text_params, kv_, q_toks, pos_, config, kv_bound,
+            loras=loras, vids=vids,
         )
         for sid in suppress_ids:
             logits = logits.at[:, :, sid].set(NEG_INF)
@@ -532,6 +558,9 @@ def serve_chunk_spec_sampled(
     rng: jax.Array,
     temperature: jax.Array,
     top_p: jax.Array,
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
+    *,
     config: TextConfig,
     eos_id: int,
     suppress_ids: Tuple[int, ...],
@@ -584,7 +613,8 @@ def serve_chunk_spec_sampled(
 
         q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
         logits, kv_ = ragged_verify_step(
-            text_params, kv_, q_toks, pos_, config, kv_bound
+            text_params, kv_, q_toks, pos_, config, kv_bound,
+            loras=loras, vids=vids,
         )
         for sid in suppress_ids:
             logits = logits.at[:, :, sid].set(NEG_INF)

@@ -122,8 +122,9 @@ class ContinuousBatchingEngine:
         program, each row applying its own adapter's low-rank residual
         (engine/serving._lora_delta). Adapters of different ranks are
         zero-padded to the widest; vid 0 is the base model. Composes
-        with runtime-int4 base weights and per-request sampling; not
-        yet supported together with `speculative`."""
+        with runtime-int4 base weights, per-request sampling, AND
+        speculative chunks (the ragged span verify applies each row's
+        adapter over its whole k-token span)."""
         self.model = model
         self.config = model.config.text
         self.n_slots = n_slots
@@ -168,12 +169,6 @@ class ContinuousBatchingEngine:
         self._loras = None
         self._vid_of: Dict[Optional[str], int] = {None: 0}
         if self._variants:
-            if self.spec_k:
-                raise ValueError(
-                    "speculative decoding does not yet support per-slot "
-                    "LoRA variants; construct the engine with one or the "
-                    "other"
-                )
             from ..lora import stack_variant_pytrees
 
             names = list(self._variants)
@@ -674,13 +669,14 @@ class ContinuousBatchingEngine:
             res = self._spec_chunk_fn()(
                 self.model.params["text"], self.kv, self.cur, self.pos,
                 self.active, self.budget, self.hist, self.hist_cnt,
-                self.rng, t_arg, p_arg,
+                self.rng, t_arg, p_arg, **lora_kw,
             )
             self.hist, self.hist_cnt, self.rng = res.hist, res.hist_cnt, res.rng
         elif self.spec_k:
             res = self._spec_chunk_fn()(
                 self.model.params["text"], self.kv, self.cur, self.pos,
                 self.active, self.budget, self.hist, self.hist_cnt,
+                **lora_kw,
             )
             self.hist, self.hist_cnt = res.hist, res.hist_cnt
         else:

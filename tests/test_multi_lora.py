@@ -242,14 +242,36 @@ def test_zero_b_adapter_is_bitwise_noop(model, tmp_path, monkeypatch, images):
     assert out[r1] == ref[p1]
 
 
-def test_unknown_variant_and_spec_guard(model, variant_trees, images):
+def test_unknown_variant_rejected(model, variant_trees, images):
     eng = ContinuousBatchingEngine(
         model, n_slots=1, slot_len=1024, chunk=4, variants=variant_trees
     )
     with pytest.raises(KeyError, match="unknown variant"):
         eng.submit(images[0], variant="nope")
-    with pytest.raises(ValueError, match="speculative"):
-        ContinuousBatchingEngine(
-            model, n_slots=1, slot_len=1024, chunk=4, speculative=4,
-            variants=variant_trees,
-        )
+
+
+def test_speculative_composes_with_variants(model, variant_trees, images):
+    """Greedy speculative chunks over a mixed-tenant pool: the ragged
+    span verify applies each row's adapter, so emitted streams equal the
+    plain (non-spec) variant pool token-for-token."""
+    plain = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=4, variants=variant_trees
+    )
+    p0 = plain.submit(images[0], max_tokens=12, variant="v1")
+    p1 = plain.submit(images[1], max_tokens=12)
+    p2 = plain.submit(images[2], question="what?", max_tokens=12,
+                      variant="v2")
+    ref = plain.drain()
+
+    spec = ContinuousBatchingEngine(
+        model, n_slots=3, slot_len=1024, chunk=4, speculative=4,
+        variants=variant_trees,
+    )
+    s0 = spec.submit(images[0], max_tokens=12, variant="v1")
+    s1 = spec.submit(images[1], max_tokens=12)
+    s2 = spec.submit(images[2], question="what?", max_tokens=12,
+                     variant="v2")
+    out = spec.drain()
+    assert out[s0] == ref[p0]
+    assert out[s1] == ref[p1]
+    assert out[s2] == ref[p2]
