@@ -152,15 +152,14 @@ def _ragged_attn(
         out = sdpa(q, k_l, v_l, mask)
 
     out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
-    proj_in = out
     if quant is not None:
         out = text_ops._q_lin(out, quant["proj"], w["proj"]["b"], layer)
     else:
         out = linear(out, w["proj"])
+    # the proj adapter reads the BLOCK INPUT x (the shared-LN output),
+    # not the attention output (reference text.py:53-56)
     if lora_l is not None:
-        out = out + _lora_delta(
-            proj_in, lora_l["proj"], vids
-        ).astype(out.dtype)
+        out = out + _lora_delta(x, lora_l["proj"], vids).astype(out.dtype)
     return out, kv
 
 

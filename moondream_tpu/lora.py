@@ -123,14 +123,21 @@ def variant_state_dict(
     }
 
 
-def merge_variant(text_params: dict, lora: dict, scale: float = 1.0) -> dict:
-    """Fold a stacked adapter into the dense block weights:
-    W (L, in, out) += scale * Aᵀ Bᵀ per site — serving a merged variant
-    then costs ZERO extra matmuls per step (the per-step low-rank adds
-    exist for hot-swapping many variants; a dedicated deployment should
-    merge). Returns a new params pytree; accumulation runs in fp32 and
-    rounds back to the weight dtype. Requires dense weights (merge before
-    quantize_text_params for int4 serving)."""
+def merge_variant(text_params: dict, lora: dict, scale: float = 1.0):
+    """Fold a stacked adapter into the dense block weights where the
+    adapter input equals the matmul input: W (L, in, out) += scale·AᵀBᵀ
+    for qkv / fc1 / fc2. The attn **proj** adapter reads the BLOCK INPUT
+    (the shared-LN output), not the proj input (reference text.py:53-56),
+    so it cannot be folded into the proj weight; it is returned as a
+    residual adapter to keep passing per step.
+
+    Returns ``(merged_params, residual_lora)`` where ``residual_lora`` is
+    None when the proj adapter is identically zero (then serving the
+    merged variant costs ZERO extra matmuls per step), else a stacked
+    adapter pytree containing only ``{"attn": {"proj": pair}}``.
+    Accumulation runs in fp32 and rounds back to the weight dtype.
+    Requires dense weights (merge before quantize_text_params for int4
+    serving)."""
     if "w" not in text_params["blocks"]["attn"]["qkv"]:
         raise ValueError(
             "merge_variant needs dense block weights — merge before "
@@ -156,10 +163,6 @@ def merge_variant(text_params: dict, lora: dict, scale: float = 1.0) -> dict:
                     **blocks["attn"]["qkv"],
                     "w": fold(blocks["attn"]["qkv"]["w"], lora["attn"]["qkv"]),
                 },
-                "proj": {
-                    **blocks["attn"]["proj"],
-                    "w": fold(blocks["attn"]["proj"]["w"], lora["attn"]["proj"]),
-                },
             },
             "mlp": {
                 **blocks["mlp"],
@@ -174,7 +177,12 @@ def merge_variant(text_params: dict, lora: dict, scale: float = 1.0) -> dict:
             },
         },
     }
-    return merged
+    proj = lora["attn"]["proj"]
+    if not bool(jnp.any(proj["B"]).item() and jnp.any(proj["A"]).item()):
+        return merged, None
+    if scale != 1.0:
+        proj = {"A": proj["A"], "B": proj["B"] * scale}
+    return merged, {"attn": {"proj": proj}}
 
 
 def stack_variant_pytrees(loras):

@@ -57,25 +57,50 @@ class EncodedImage:
     """KV snapshot after prefilling [BOS, image] (reference moondream.py:56-59).
 
     With config.text.kv_int8, `k`/`v` hold int8 codes and `ks`/`vs` the
-    per-(token, cache-row) fp32 scales (see models.text.KVCache)."""
+    per-(token, cache-row) fp32 scales (see models.text.KVCache).
+
+    `variant` records which LoRA adapter (by name) the prefill ran under
+    (None = base weights): the adapter applies to the image prefill too,
+    so a snapshot is only valid for requests using the SAME variant —
+    encode_image asserts this at reuse instead of relying on a docstring
+    contract."""
 
     pos: int
     k: jax.Array  # (L, 1, H_kv, pos, Dh)
     v: jax.Array
     ks: Optional[jax.Array] = None  # (L, 1, H_kv/pf, pos, 1)
     vs: Optional[jax.Array] = None
+    variant: Optional[str] = None
 
     def as_cache(self) -> KVCache:
         return KVCache(k=self.k, v=self.v, ks=self.ks, vs=self.vs)
 
 
-def _snap_enc(kv: KVCache, pos: int, b: Optional[int] = None) -> "EncodedImage":
+def _variant_label(settings) -> Optional[str]:
+    """The variant identity a request asks for: an explicit
+    "variant_label" (serving engines resolve adapters ahead of time and
+    pass the loaded tree), else the "variant" name/path itself."""
+    if not settings:
+        return None
+    label = settings.get("variant_label")
+    if label is not None:
+        return label
+    v = settings.get("variant")
+    return v if isinstance(v, str) else None
+
+
+def _snap_enc(
+    kv: KVCache, pos: int, b: Optional[int] = None,
+    variant: Optional[str] = None,
+) -> "EncodedImage":
     """Slice one image's KV snapshot out of a (possibly batched) cache."""
     from .text import slice_cache_span
 
     bs = slice(None) if b is None else slice(b, b + 1)
     snap = slice_cache_span(kv, pos, batch=bs)
-    return EncodedImage(pos=pos, k=snap.k, v=snap.v, ks=snap.ks, vs=snap.vs)
+    return EncodedImage(
+        pos=pos, k=snap.k, v=snap.v, ks=snap.ks, vs=snap.vs, variant=variant
+    )
 
 
 def _concat_enc_kv(encs: List["EncodedImage"]) -> KVCache:
@@ -540,7 +565,15 @@ class MoondreamModel:
     ) -> EncodedImage:
         """Encode an image and prefill [BOS, image] through the text model
         (reference moondream.py:230-268)."""
+        want = _variant_label(settings)
         if isinstance(image, EncodedImage):
+            if image.variant != want:
+                raise ValueError(
+                    f"EncodedImage was encoded under variant "
+                    f"{image.variant!r} but this request uses {want!r}; "
+                    "the adapter applies to the image prefill, so re-encode "
+                    "the image under the request's variant"
+                )
             return image
 
         lora = self._variant(settings)
@@ -555,7 +588,7 @@ class MoondreamModel:
             self.params["text"], kv, embeds,
             jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
         )
-        enc = _snap_enc(kv, seq)
+        enc = _snap_enc(kv, seq, variant=want)
         self._recycle_kv(kv)
         return enc
 
@@ -1215,7 +1248,8 @@ class MoondreamModel:
             self.params["text"], kv, embeds,
             jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
         )
-        encs = [_snap_enc(kv, seq, b) for b in range(bsz)]
+        want = _variant_label(settings)
+        encs = [_snap_enc(kv, seq, b, variant=want) for b in range(bsz)]
         self._recycle_kv(kv, bsz)
         return encs
 
@@ -1409,7 +1443,8 @@ class MoondreamModel:
         ]
 
     # ----------------------------------------------------------------- gaze
-    def _gaze_prefill(self, kv, pos0: int, source: Tuple[float, float]):
+    def _gaze_prefill(self, kv, pos0: int, source: Tuple[float, float],
+                      lora: Optional[dict] = None):
         """Prefill the embedding-space gaze prompt ("\\n\\nPoint:" + coord
         embeds + " gaze\\n\\n", reference moondream.py:831-859) onto `kv` at
         `pos0`. Returns (hidden, next_token(argmax), new_pos, kv)."""
@@ -1433,7 +1468,7 @@ class MoondreamModel:
         logits, hidden, kv = self._prefill_fn(self._kv_bound(pos0 + pad))(
             self.params["text"], kv, embeds,
             jnp.int32(pos0), jnp.int32(length),
-            jnp.int32(self.config.text.prefix_attn),
+            jnp.int32(self.config.text.prefix_attn), lora=lora,
         )
         next_token = jnp.argmax(logits, -1).astype(jnp.int32)
         return hidden, next_token, pos0 + length, kv

@@ -323,11 +323,12 @@ class ContinuousBatchingEngine:
         lora, vid = self._resolve_variant(variant)
 
         # the adapter applies to the [BOS, image] prefill too (reference
-        # puts LoRA in every text forward). A pre-encoded EncodedImage is
-        # used as-is: the caller must have encoded it under the SAME
-        # variant (the HTTP frontend keys its encode cache by variant).
+        # puts LoRA in every text forward). A pre-encoded EncodedImage
+        # carries the variant it was encoded under; encode_image raises if
+        # it doesn't match this request's variant.
         enc = model.encode_image(
-            image, settings={"variant_tree": lora} if lora is not None else None
+            image, settings={"variant_tree": lora, "variant_label": variant}
+            if lora is not None else None
         )
         kv1 = model.load_encoded_image(enc)
         if question is None:
@@ -498,7 +499,8 @@ class ContinuousBatchingEngine:
         lora, vid = self._resolve_variant(variant)
         encs = model.encode_images(
             list(images),
-            settings={"variant_tree": lora} if lora is not None else None,
+            settings={"variant_tree": lora, "variant_label": variant}
+            if lora is not None else None,
         )
         if question is None:
             prompt = list(tok_cfg.templates["caption"][caption_length])
@@ -543,7 +545,8 @@ class ContinuousBatchingEngine:
         return self._submit_structured(image, object, "point", False,
                                        max_objects, variant=variant)
 
-    def submit_gaze(self, image, eye, force_detect: bool = False) -> int:
+    def submit_gaze(self, image, eye, force_detect: bool = False,
+                    variant: Optional[str] = None) -> int:
         """Admit a gaze-detection request into the pool (the reference's
         worst-latency path, moondream.py:884-973): the embedding-space
         prompt prefills once, then the 2-step point decode rides the
@@ -551,28 +554,32 @@ class ContinuousBatchingEngine:
         model.detect_gaze."""
         if not self.free_slots():
             raise RuntimeError("no free slot; step() or drain() first")
-        prep = self.prepare_gaze(image, eye, force_detect)
+        prep = self.prepare_gaze(image, eye, force_detect, variant=variant)
         return self.admit_prepared(prep)
 
-    def prepare_gaze(self, image, eye,
-                     force_detect: bool = False) -> PreparedRequest:
+    def prepare_gaze(self, image, eye, force_detect: bool = False,
+                     variant: Optional[str] = None) -> PreparedRequest:
         if self.spec_k:
             raise ValueError(
                 "structured requests are not supported with speculative "
                 "serving (speculative=0 to mix gaze into the pool)"
             )
         model = self.model
-        enc = model.encode_image(image)
+        lora, vid = self._resolve_variant(variant)
+        enc = model.encode_image(
+            image, settings={"variant_tree": lora, "variant_label": variant}
+            if lora is not None else None
+        )
         kv1 = model.load_encoded_image(enc)
         hidden, next_token, pos, kv1 = model._gaze_prefill(
-            kv1, enc.pos, tuple(eye)
+            kv1, enc.pos, tuple(eye), lora=lora
         )
         if force_detect:
             next_token = jnp.int32(0)
         return PreparedRequest(
             kv1, next_token, pos, [], 0.0, 0.0,
             structured="gaze", hidden=hidden,
-            include_size=False, n_objects=1,
+            include_size=False, n_objects=1, vid=vid,
         )
 
     def _submit_structured(self, image, object, template_key, include_size,
@@ -611,7 +618,8 @@ class ContinuousBatchingEngine:
             )
         lora, vid = self._resolve_variant(variant)
         enc = model.encode_image(
-            image, settings={"variant_tree": lora} if lora is not None else None
+            image, settings={"variant_tree": lora, "variant_label": variant}
+            if lora is not None else None
         )
         kv1 = model.load_encoded_image(enc)
         prompt = (

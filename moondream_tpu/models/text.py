@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..config import TextConfig
 from ..ops.attention import attention
-from ..ops.layers import layer_norm, linear, lora_linear, mlp, sdpa
+from ..ops.layers import layer_norm, linear, lora_delta, lora_linear, mlp, sdpa
 from ..ops.rope import apply_rotary_emb
 
 
@@ -354,12 +354,13 @@ def attn_with_cache(
 
     out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim)
     if quant is not None:
-        out = _q_lin(
-            out, quant["proj"], w["proj"]["b"], layer,
-            lora.get("proj") if lora else None,
-        )
+        out = _q_lin(out, quant["proj"], w["proj"]["b"], layer)
     else:
-        out = lora_linear(out, w["proj"], lora.get("proj") if lora else None)
+        out = linear(out, w["proj"])
+    # the proj adapter reads the BLOCK INPUT x (the shared-LN output),
+    # not the attention output (reference text.py:53-56)
+    if lora is not None and lora.get("proj") is not None:
+        out = out + lora_delta(x, lora["proj"]).astype(out.dtype)
     return out, kv
 
 
@@ -389,11 +390,13 @@ def attn_uncached(
         v = jnp.repeat(v, rep, axis=1)
 
     out = sdpa(q, k, v, attn_mask)
-    return lora_linear(
-        out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim),
-        w["proj"],
-        lora.get("proj") if lora else None,
+    out = linear(
+        out.transpose(0, 2, 1, 3).reshape(bsz, q_len, config.dim), w["proj"]
     )
+    # proj adapter reads the block input x (reference text.py:53-56)
+    if lora is not None and lora.get("proj") is not None:
+        out = out + lora_delta(x, lora["proj"]).astype(out.dtype)
+    return out
 
 
 def text_decoder(

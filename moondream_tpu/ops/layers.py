@@ -60,18 +60,21 @@ def linear(x: jax.Array, w: dict) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def lora_linear(x: jax.Array, w: dict, lora: Optional[dict]) -> jax.Array:
-    """Linear with an optional low-rank residual: y += (x @ A^T) @ B^T.
+def lora_delta(x: jax.Array, pair: dict) -> jax.Array:
+    """Low-rank residual (x @ Aᵀ) @ Bᵀ accumulated in fp32.
 
     LoRA checkpoints store A/B in torch (out, in) layout
     (reference text.py:31-32), so both factors multiply transposed.
     """
+    a = jnp.dot(x, pair["A"].T, preferred_element_type=jnp.float32)
+    return jnp.dot(a, pair["B"].T, preferred_element_type=jnp.float32)
+
+
+def lora_linear(x: jax.Array, w: dict, lora: Optional[dict]) -> jax.Array:
+    """Linear with an optional low-rank residual: y += (x @ A^T) @ B^T."""
     y = linear(x, w)
     if lora is not None:
-        a = jnp.dot(x, lora["A"].T, preferred_element_type=jnp.float32)
-        y = y + jnp.dot(a, lora["B"].T, preferred_element_type=jnp.float32).astype(
-            y.dtype
-        )
+        y = y + lora_delta(x, lora).astype(y.dtype)
     return y
 
 

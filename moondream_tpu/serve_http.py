@@ -377,7 +377,9 @@ class ServingFrontend:
                 else:
                     lora, _ = self.engine._resolve_variant(variant)
                     enc = self.engine.model.encode_image(
-                        image, settings={"variant_tree": lora}
+                        image,
+                        settings={"variant_tree": lora,
+                                  "variant_label": variant},
                     )
         else:
             return image
@@ -462,7 +464,8 @@ class ServingFrontend:
             with self._model_lock:
                 if structured == "gaze":
                     # obj carries the (x, y) eye source for gaze rows
-                    prep = self.engine.prepare_gaze(image, obj)
+                    prep = self.engine.prepare_gaze(image, obj,
+                                                    variant=variant)
                 elif structured is not None:
                     prep = self.engine.prepare_structured(
                         image, obj, structured, structured == "detect",
@@ -637,12 +640,19 @@ class ServingFrontend:
             )
             return fn(images, obj)
 
-    def gaze_request(self, image, eye, image_key: Optional[str] = None):
+    def gaze_request(self, image, eye, image_key: Optional[str] = None,
+                     variant: Optional[str] = None):
         t0 = time.monotonic()
         try:
             if self.struct_pool:
                 out = self._structured_via_pool(
-                    "gaze", image, eye, image_key
+                    "gaze", image, eye, image_key, variant=variant
+                )
+            elif variant is not None:
+                # refuse rather than silently serving base weights
+                raise ValueError(
+                    "gaze with a variant requires --struct-pool "
+                    "(pooled structured decode)"
                 )
             else:
                 image = self._resolve_image(image, image_key)
@@ -967,7 +977,7 @@ class _Handler(BaseHTTPRequestHandler):
                 eye = payload["eye"]
                 out = self.frontend.gaze_request(
                     image, (float(eye["x"]), float(eye["y"])),
-                    image_key=image_key,
+                    image_key=image_key, variant=variant,
                 )
                 self._json(200, out)
             elif self.path == "/v1/point":

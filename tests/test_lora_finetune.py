@@ -143,12 +143,31 @@ def test_merge_variant_matches_lora_forward(text_params):
         lora, text_params, batch["inputs_embeds"], batch["labels"],
         batch["label_mask"], CFG,
     )
-    merged = lora_mod.merge_variant(text_params, lora)
+    merged, residual = lora_mod.merge_variant(text_params, lora)
+    assert residual is None  # proj adapter is zero -> fully folded
     merged_loss = text_loss(
         merged, batch["inputs_embeds"], batch["labels"],
         batch["label_mask"], CFG,
     )
     np.testing.assert_allclose(float(merged_loss), float(with_lora), rtol=1e-5)
+
+    # nonzero attn-proj adapter: reads the block input (reference
+    # text.py:53-56) so it cannot fold into W_proj — it must come back as
+    # a residual adapter, and merged + residual == full lora forward
+    lora["attn"]["proj"]["B"] = (
+        jax.random.normal(rng, lora["attn"]["proj"]["B"].shape) * 0.05
+    )
+    with_proj = lora_text_loss(
+        lora, text_params, batch["inputs_embeds"], batch["labels"],
+        batch["label_mask"], CFG,
+    )
+    merged2, residual2 = lora_mod.merge_variant(text_params, lora)
+    assert residual2 is not None
+    merged2_loss = lora_text_loss(
+        residual2, merged2, batch["inputs_embeds"], batch["labels"],
+        batch["label_mask"], CFG,
+    )
+    np.testing.assert_allclose(float(merged2_loss), float(with_proj), rtol=1e-5)
 
     # int4 guard: merging after quantization is refused
     from moondream_tpu.models.text import quantize_text_params

@@ -142,6 +142,117 @@ def test_prefill_and_decode_match_reference():
 
 
 @requires_reference
+def test_lora_placement_matches_reference():
+    """LoRA application sites vs the reference, with every adapter nonzero.
+
+    The subtle one is attn-proj: the reference computes its delta from the
+    BLOCK INPUT (the shared-LN output), not the attention output
+    (reference text.py:53-56). A placement divergence passes every
+    pool-vs-single-stream consistency test but silently breaks real
+    adapter checkpoints, so this pins the torch semantics directly."""
+    import torch
+    from moondream.torch.moondream import KVCache as RefKVCache
+    from moondream.torch.text import text_decoder as ref_decoder
+
+    cfg = TINY
+    model = _build_reference_text(cfg, seed=3)
+    params = _jax_params_from_reference(model, cfg)
+    for b in model.blocks:
+        b.kv_cache = RefKVCache(
+            cfg.n_heads, cfg.n_kv_heads, cfg.max_context, cfg.dim,
+            device="cpu", dtype=torch.float32,
+        )
+
+    rank = 4
+    rng = np.random.default_rng(5)
+    sites = {
+        "attn": {"qkv": (cfg.dim, cfg.qkv_dim), "proj": (cfg.dim, cfg.dim)},
+        "mlp": {"fc1": (cfg.dim, cfg.ff_dim), "fc2": (cfg.ff_dim, cfg.dim)},
+    }
+
+    def pair(fin, fout):
+        return {
+            "A": (rng.standard_normal((rank, fin)) * 0.1).astype(np.float32),
+            "B": (rng.standard_normal((fout, rank)) * 0.1).astype(np.float32),
+        }
+
+    per_layer = [
+        {g: {s: pair(*dims) for s, dims in gs.items()} for g, gs in sites.items()}
+        for _ in range(cfg.n_layers)
+    ]
+    ref_lora = {
+        "text": {
+            "blocks": {
+                str(i): {
+                    g: {
+                        s: {k: torch.from_numpy(v) for k, v in p.items()}
+                        for s, p in gs.items()
+                    }
+                    for g, gs in per_layer[i].items()
+                }
+                for i in range(cfg.n_layers)
+            }
+        }
+    }
+    stacked = {
+        g: {
+            s: {
+                k: jnp.asarray(
+                    np.stack([per_layer[i][g][s][k] for i in range(cfg.n_layers)])
+                )
+                for k in ("A", "B")
+            }
+            for s in gs
+        }
+        for g, gs in sites.items()
+    }
+
+    rng2 = np.random.default_rng(6)
+    prompt_len = 10
+    x = (rng2.standard_normal((1, prompt_len, cfg.dim)) * 0.3).astype(np.float32)
+    full_mask = np.tril(
+        np.ones((1, 1, cfg.max_context, cfg.max_context), dtype=bool)
+    )
+
+    ref_hidden = ref_decoder(
+        torch.from_numpy(x), model,
+        torch.from_numpy(full_mask[:, :, :prompt_len, :]),
+        torch.arange(prompt_len), cfg, lora=ref_lora,
+    )
+
+    kv = jtext.KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    ours_hidden, kv = jtext.text_decoder(
+        jnp.asarray(x), params, kv, jnp.int32(0), jnp.int32(0), cfg,
+        lora=stacked,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_hidden), ref_hidden.detach().numpy(),
+        atol=3e-4, rtol=1e-3,
+    )
+
+    # the cache-free training path applies the same placement. The
+    # reference's _produce_hidden takes no lora, so golden = its cached
+    # decoder run under the same mask (T=10 < prefix 730, so the
+    # training-path prefix mask is fully bidirectional).
+    ours_train = jtext.produce_hidden(
+        jnp.asarray(x), params, cfg, lora=stacked
+    )
+    mask = jtext.prefix_attn_mask(prompt_len, cfg.prefix_attn)
+    assert bool(mask.all())
+    for blk in model.blocks:
+        blk.kv_cache = None
+    ref_train = ref_decoder(
+        torch.from_numpy(x), model,
+        torch.from_numpy(np.asarray(mask)), torch.arange(prompt_len),
+        cfg, lora=ref_lora,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_train), ref_train.detach().numpy(),
+        atol=3e-4, rtol=1e-3,
+    )
+
+
+@requires_reference
 def test_gqa_decode_matches_reference():
     """GQA path (n_kv_heads < n_heads) — the reference supports it via
     enable_gqa (text.py:49)."""
