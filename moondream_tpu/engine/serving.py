@@ -334,13 +334,25 @@ def ragged_verify_step(
     kv_bound: Optional[int] = None,
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, KVCache]:
+    x_override: Optional[jax.Array] = None,  # (S, D)
+    x_mask: Optional[jax.Array] = None,  # (S,) bool
+) -> Tuple[jax.Array, jax.Array, KVCache]:
     """One speculative verify forward for the whole slot pool: every row
-    feeds a k-token span at its own position. Returns ((S, k) greedy
-    continuation ids as fp32 logits argmax inputs — here full (S, k, V)
-    logits, new cache). `loras`/`vids`: per-row adapters applied to the
-    whole span (see ragged_hidden_step; _lora_delta handles Tq = k)."""
+    feeds a k-token span at its own position. Returns ((S, k, V) logits,
+    (S, k, D) hidden, new cache) — the hidden feeds structured rows'
+    coordinate decode in the mixed spec chunk. `loras`/`vids`: per-row
+    adapters applied to the whole span (see ragged_hidden_step;
+    _lora_delta handles Tq = k). `x_override`: optional (S, D) input
+    embedding replacing span position 0 per row where `x_mask` is True —
+    structured rows feed coordinate/size embeddings, not token
+    embeddings."""
     x = text_params["wte"][q_toks]  # (S, k, D)
+    if x_override is not None:
+        x = jnp.where(
+            x_mask[:, None, None] & (jnp.arange(x.shape[1]) == 0)[None, :, None],
+            x_override[:, None, :].astype(x.dtype),
+            x,
+        )
     blocks_q = text_params.get("blocks_q")
     from ..ops.layers import gelu_approx
 
@@ -392,7 +404,7 @@ def ragged_verify_step(
     (hidden, kv_new), _ = jax.lax.scan(block, (x, kv), xs)
     S, k, D = hidden.shape
     logits = lm_logits_batched(hidden.reshape(S * k, D), text_params)
-    return logits.reshape(S, k, -1), kv_new
+    return logits.reshape(S, k, -1), hidden, kv_new
 
 
 class ServeChunkSpecResult(NamedTuple):
@@ -475,7 +487,7 @@ def serve_chunk_spec(
 
         # ---- one ragged span verify forward for the whole pool
         q_toks = jnp.concatenate([cur[:, None], draft], axis=1)  # (S, k)
-        logits, kv_ = ragged_verify_step(
+        logits, _, kv_ = ragged_verify_step(
             text_params, kv_, q_toks, pos_, config, kv_bound,
             loras=loras, vids=vids,
         )
@@ -611,7 +623,7 @@ def serve_chunk_spec_sampled(
         draft = jnp.where(any_match[:, None], draft, cur[:, None])
 
         q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
-        logits, kv_ = ragged_verify_step(
+        logits, _, kv_ = ragged_verify_step(
             text_params, kv_, q_toks, pos_, config, kv_bound,
             loras=loras, vids=vids,
         )
@@ -912,4 +924,237 @@ def serve_chunk_mixed(
         tokens=toks, emitted=emit, active=active, pos=pos, cur=cur,
         budget=budget, kv=kv, rng=rng, mode=mode, hid=hid, pending=pending,
         xbuf=xbuf, ybuf=ybuf, boxes=boxes, nobj=nobj,
+    )
+
+
+class ServeChunkMixedSpecResult(NamedTuple):
+    tokens: jax.Array  # (S, n_iter * k) int32 — text rows' emitted tokens
+    emitted: jax.Array  # (S, n_iter * k) bool
+    active: jax.Array  # (S,) bool
+    pos: jax.Array  # (S,) int32
+    cur: jax.Array  # (S,) int32
+    budget: jax.Array  # (S,) int32
+    kv: KVCache
+    mode: jax.Array  # (S,) int32
+    hid: jax.Array  # (S, D)
+    pending: jax.Array  # (S,) int32
+    xbuf: jax.Array  # (S,) f32
+    ybuf: jax.Array  # (S,) f32
+    boxes: jax.Array  # (S, max_objects, 4) f32
+    nobj: jax.Array  # (S,) int32
+    hist: jax.Array  # (S, H) int32
+    hist_cnt: jax.Array  # (S,) int32
+
+
+def serve_chunk_mixed_spec(
+    text_params: dict,
+    region_params: dict,
+    kv: KVCache,
+    cur_tokens: jax.Array,  # (S,)
+    pos: jax.Array,  # (S,)
+    active: jax.Array,  # (S,) bool
+    budget: jax.Array,  # (S,) int32
+    hist: jax.Array,  # (S, H) int32
+    hist_cnt: jax.Array,  # (S,) int32
+    mode: jax.Array,  # (S,) int32
+    hid: jax.Array,  # (S, D)
+    pending: jax.Array,  # (S,) int32
+    xbuf: jax.Array,  # (S,) f32
+    ybuf: jax.Array,  # (S,) f32
+    boxes: jax.Array,  # (S, max_objects, 4) f32
+    nobj: jax.Array,  # (S,) int32
+    is_box: jax.Array,  # (S,) bool
+    loras: Optional[dict] = None,
+    vids: Optional[jax.Array] = None,
+    *,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    n_iter: int,
+    spec_k: int,
+    max_objects: int,
+    kv_bound: Optional[int] = None,
+) -> ServeChunkMixedSpecResult:
+    """Speculative MIXED chunk (greedy): text rows draft k-token spans
+    from their device-resident histories while structured rows
+    (detect/point/gaze) advance their 1-token coordinate state machines
+    inside the SAME ragged span verify forward.
+
+    Composition of serve_chunk_spec (text acceptance) and
+    serve_chunk_mixed (structured state machine): struct rows override
+    span position 0 with their coordinate/size embedding
+    (ragged_verify_step x_override) and always accept exactly one
+    position (m = 1); span positions 1..k-1 write garbage K/V beyond the
+    row's accepted position, which later steps overwrite before they can
+    be attended — the same mechanism that discards rejected text drafts.
+    Text rows are token-identical to serve_chunk_spec; struct rows are
+    box/point-identical to serve_chunk_mixed (greedy pools)."""
+    from ..models import region as region_ops
+    from ..ops.layers import mlp as _mlp
+
+    S = cur_tokens.shape[0]
+    W = n_iter * spec_k
+    H = hist.shape[1]
+    emb_dtype = text_params["wte"].dtype
+    toks0 = jnp.zeros((S, W), jnp.int32)
+    emit0 = jnp.zeros((S, W), jnp.bool_)
+    col0 = jnp.zeros((S,), jnp.int32)
+    rows = jnp.arange(S, dtype=jnp.int32)
+    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
+    max_pos = kv_bound or config.max_context
+
+    def body(_, c):
+        (kv_, cur, pos_, act, bud, h_, cnt, col, toks, emit,
+         mode_, hid_, pend_, xb, yb, bx, n_) = c
+        is_text = mode_ == MODE_TEXT
+        is_struct = ~is_text
+
+        # ---- struct rows consume the held hidden (as serve_chunk_mixed)
+        coord_logits = region_ops.decode_coordinate(hid_, region_params)
+        val = (
+            jnp.argmax(coord_logits, -1).astype(jnp.float32)
+            / coord_logits.shape[-1]
+        )
+        size_logits = _mlp(hid_, region_params["size_decoder"]).reshape(
+            S, 2, -1
+        )
+        wh = region_ops.size_bin_to_value(jnp.argmax(size_logits, -1))
+
+        xn = is_struct & (mode_ == MODE_XN) & act
+        # span forwards write spec_k K/V rows, so struct rows stop while
+        # pos + spec_k (the span) + 3 (the object's remaining steps) fits
+        stop = (
+            (pend_ == eos_id) | (n_ >= max_objects)
+            | (pos_ + spec_k + 3 >= max_pos) | (bud <= 0)
+        )
+        act = act & ~(xn & stop)
+        xn = xn & ~stop
+
+        yrow = is_struct & (mode_ == MODE_Y) & act
+        srow = is_struct & (mode_ == MODE_SIZE) & act
+
+        rec_point = yrow & ~is_box
+        point_row = jnp.stack(
+            [xb, val, jnp.zeros_like(xb), jnp.zeros_like(xb)], -1
+        )
+        box_row = jnp.stack(
+            [xb - wh[:, 0] / 2, yb - wh[:, 1] / 2,
+             xb + wh[:, 0] / 2, yb + wh[:, 1] / 2], -1,
+        )
+        rec = rec_point | srow
+        row = jnp.where(srow[:, None], box_row, point_row)
+        upd = (jnp.arange(max_objects)[None, :] == n_[:, None]) & rec[:, None]
+        bx = jnp.where(upd[..., None], row[:, None, :], bx)
+        n_ = n_ + rec.astype(jnp.int32)
+
+        xb = jnp.where(xn, val, xb)
+        yb = jnp.where(yrow, val, yb)
+        new_mode = jnp.where(
+            xn, MODE_Y,
+            jnp.where(
+                yrow, jnp.where(is_box, MODE_SIZE, MODE_XN),
+                jnp.where(srow, MODE_XN, mode_),
+            ),
+        )
+        emb_coord = region_ops.encode_coordinate(
+            val[:, None].astype(emb_dtype), region_params
+        )
+        emb_size = region_ops.encode_size(wh.astype(emb_dtype), region_params)
+        emb_struct = jnp.where(srow[:, None], emb_size, emb_coord)
+
+        # ---- text rows: emit cur + history append + bigram draft
+        text_act = act & is_text
+        toks = toks.at[rows, jnp.where(text_act, col, W)].set(
+            cur, mode="drop"
+        )
+        emit = emit.at[rows, jnp.where(text_act, col, W)].set(
+            True, mode="drop"
+        )
+        h_ = h_.at[
+            rows, jnp.where(text_act, jnp.minimum(cnt, H - 1), H)
+        ].set(cur, mode="drop")
+        cnt1 = cnt + text_act.astype(jnp.int32)
+
+        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
+        succ = jnp.roll(h_, -1, axis=1)
+        match = (
+            (t_idx <= (cnt1 - 3)[:, None])
+            & (h_ == prev[:, None])
+            & (succ == cur[:, None])
+        )
+        any_match = jnp.any(match, axis=1)
+        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
+        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
+        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
+        draft = jnp.take_along_axis(h_, gather, axis=1)
+        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+
+        # ---- ONE ragged span verify for the whole pool; struct rows feed
+        # their coordinate/size embedding at span position 0
+        q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
+        logits, hidden, kv_ = ragged_verify_step(
+            text_params, kv_, q_toks, pos_, config, kv_bound,
+            loras=loras, vids=vids,
+            x_override=emb_struct, x_mask=is_struct,
+        )
+
+        # struct rows hold span position 0's hidden + continue token
+        # (UNsuppressed logits, as serve_chunk_mixed)
+        hid_ = jnp.where(is_struct[:, None], hidden[:, 0], hid_)
+        pend_ = jnp.where(
+            is_struct, jnp.argmax(logits[:, 0], -1).astype(jnp.int32), pend_
+        )
+        mode_ = jnp.where(act & is_struct, new_mode, mode_)
+
+        for sid in suppress_ids:
+            logits = logits.at[:, :, sid].set(NEG_INF)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (S, k)
+
+        # ---- text acceptance (serve_chunk_spec's rule)
+        ok = (draft == g[:, :-1]).astype(jnp.int32)
+        m = 1 + jnp.sum(jnp.cumprod(ok, axis=1), axis=1)
+        is_eos = g == eos_id
+        eos_pos = jnp.argmax(is_eos, axis=1)
+        m = jnp.where(
+            jnp.any(is_eos, axis=1) & (eos_pos + 1 < m), eos_pos + 1, m
+        )
+        m = jnp.minimum(m, bud)
+        # struct rows advance exactly one position per iteration
+        m = jnp.where(is_text, m, 1)
+        m = jnp.where(act, m, 0)
+
+        for j in range(spec_k - 1):
+            valid = text_act & (j + 1 < m)
+            toks = toks.at[rows, jnp.where(valid, col + 1 + j, W)].set(
+                g[:, j], mode="drop"
+            )
+            emit = emit.at[rows, jnp.where(valid, col + 1 + j, W)].set(
+                True, mode="drop"
+            )
+            h_ = h_.at[
+                rows, jnp.where(valid, jnp.minimum(cnt1 + j, H - 1), H)
+            ].set(g[:, j], mode="drop")
+
+        nxt = g[rows, jnp.maximum(m - 1, 0)]
+        cur = jnp.where(text_act, nxt, cur)
+        pos_ = pos_ + m
+        bud = bud - m
+        cnt2 = cnt1 + jnp.maximum(m - 1, 0) * text_act.astype(jnp.int32)
+        col = col + m
+        text_done = is_text & ((cur == eos_id) | (bud <= 0))
+        act = act & ~text_done & (pos_ + spec_k <= max_pos)
+        return (kv_, cur, pos_, act, bud, h_, cnt2, col, toks, emit,
+                mode_, hid_, pend_, xb, yb, bx, n_)
+
+    (kv, cur, pos, active, budget, hist, hist_cnt, _, toks, emit,
+     mode, hid, pending, xbuf, ybuf, boxes, nobj) = jax.lax.fori_loop(
+        0, n_iter, body,
+        (kv, cur_tokens, pos, active, budget, hist, hist_cnt, col0,
+         toks0, emit0, mode, hid, pending, xbuf, ybuf, boxes, nobj),
+    )
+    return ServeChunkMixedSpecResult(
+        tokens=toks, emitted=emit, active=active, pos=pos, cur=cur,
+        budget=budget, kv=kv, mode=mode, hid=hid, pending=pending,
+        xbuf=xbuf, ybuf=ybuf, boxes=boxes, nobj=nobj,
+        hist=hist, hist_cnt=hist_cnt,
     )

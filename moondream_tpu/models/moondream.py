@@ -456,6 +456,32 @@ class MoondreamModel:
 
         return self._jit(("gen_b", eos_id, suppress, buffer, kv_bound), build)
 
+    def _generate_spec_batched_fn(
+        self, eos_id: int, suppress: Tuple[int, ...], buffer: int,
+        kv_bound: Optional[int] = None, spec_k: int = 8,
+    ):
+        from ..engine import batched
+
+        cfg = self.config.text
+
+        def build():
+            return jax.jit(
+                partial(
+                    batched.generate_text_spec_batched,
+                    config=cfg,
+                    eos_id=eos_id,
+                    suppress_ids=suppress,
+                    buffer=buffer,
+                    kv_bound=kv_bound,
+                    spec_k=spec_k,
+                ),
+                donate_argnums=(1,),
+            )
+
+        return self._jit(
+            ("gen_spec_b", eos_id, suppress, buffer, kv_bound, spec_k), build
+        )
+
     def _sample_batched_fn(self):
         from ..engine import batched
 
@@ -628,11 +654,21 @@ class MoondreamModel:
         self.detect_gaze(enc, eye=(0.5, 0.5))
         return self
 
-    def load_encoded_image(self, encoded: EncodedImage) -> KVCache:
+    def load_encoded_image(
+        self, encoded: EncodedImage, slots: Optional[int] = None
+    ) -> KVCache:
         """Materialize a working KV cache from a snapshot (functional analog
         of reference moondream.py:620-623). Reuses a pooled buffer when one
-        is available so restore costs only the snapshot write."""
-        return self._load_kv_fn()(self._take_kv_buffer(1), encoded.as_cache())
+        is available so restore costs only the snapshot write.
+
+        `slots`: bound the buffer's token capacity (default: full
+        max_context). Serving engines pass their slot_len — a 2B bf16
+        full-context buffer is ~0.4 GB, and a pool admitting many requests
+        concurrently holds one buffer per in-flight PreparedRequest, so
+        right-sizing them is what keeps admission from OOMing the chip."""
+        return self._load_kv_fn()(
+            self._take_kv_buffer(1, slots), encoded.as_cache()
+        )
 
     # ------------------------------------------------------------- prefill
     def _variant(self, settings) -> Optional[dict]:

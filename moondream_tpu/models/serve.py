@@ -89,6 +89,7 @@ class ContinuousBatchingEngine:
         spec_adaptive: float = 0.0,
         max_objects: int = 50,
         variants: Optional[Dict[str, Any]] = None,
+        eos_id: Optional[int] = None,
     ):
         """`pipeline_depth` > 1 overlaps each chunk's host round trip
         (token fetch + callbacks) with the NEXT chunk's device compute:
@@ -127,6 +128,11 @@ class ContinuousBatchingEngine:
         adapter over its whole k-token span)."""
         self.model = model
         self.config = model.config.text
+        # eos_id override: benchmark harnesses pass -1 to force
+        # fixed-length generation (timing independent of random logits)
+        self.eos_id = (
+            model.config.tokenizer.eos_id if eos_id is None else eos_id
+        )
         self.n_slots = n_slots
         self.slot_len = min(slot_len, self.config.max_context)
         self.chunk = chunk
@@ -205,7 +211,7 @@ class ContinuousBatchingEngine:
                 partial(
                     serving.serve_chunk,
                     config=self.config,
-                    eos_id=self.model.config.tokenizer.eos_id,
+                    eos_id=self.eos_id,
                     suppress_ids=(self.model.config.tokenizer.answer_id,),
                     chunk=self.chunk,
                     kv_bound=self.slot_len,
@@ -225,7 +231,7 @@ class ContinuousBatchingEngine:
                     serving.serve_chunk_spec_sampled if sampled
                     else serving.serve_chunk_spec,
                     config=self.config,
-                    eos_id=self.model.config.tokenizer.eos_id,
+                    eos_id=self.eos_id,
                     suppress_ids=(self.model.config.tokenizer.answer_id,),
                     n_iter=self.chunk,
                     spec_k=self.spec_k,
@@ -244,13 +250,33 @@ class ContinuousBatchingEngine:
                 partial(
                     serving.serve_chunk_mixed,
                     config=self.config,
-                    eos_id=self.model.config.tokenizer.eos_id,
+                    eos_id=self.eos_id,
                     suppress_ids=(self.model.config.tokenizer.answer_id,),
                     chunk=self.chunk,
                     max_objects=self.max_objects,
                     kv_bound=self.slot_len,
                 ),
                 donate_argnums=(2,),
+            )
+            self._jits[key] = fn
+        return fn
+
+    def _mixed_spec_chunk_fn(self):
+        key = ("mixed_spec_chunk", self.chunk, self.spec_k, self.max_objects)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(
+                    serving.serve_chunk_mixed_spec,
+                    config=self.config,
+                    eos_id=self.eos_id,
+                    suppress_ids=(self.model.config.tokenizer.answer_id,),
+                    n_iter=self.chunk,
+                    spec_k=self.spec_k,
+                    max_objects=self.max_objects,
+                    kv_bound=self.slot_len,
+                ),
+                donate_argnums=(2, 7),
             )
             self._jits[key] = fn
         return fn
@@ -330,7 +356,7 @@ class ContinuousBatchingEngine:
             image, settings={"variant_tree": lora, "variant_label": variant}
             if lora is not None else None
         )
-        kv1 = model.load_encoded_image(enc)
+        kv1 = model.load_encoded_image(enc, slots=self.slot_len)
         if question is None:
             prompt = list(tok_cfg.templates["caption"][caption_length])
         else:
@@ -516,7 +542,7 @@ class ContinuousBatchingEngine:
         topp = self.top_p if top_p is None else top_p
         req_ids = []
         for enc, slot in zip(encs, free):
-            kv1 = model.load_encoded_image(enc)
+            kv1 = model.load_encoded_image(enc, slots=self.slot_len)
             _, _, next_token, pos, kv1 = model._prefill_prompt(
                 kv1, prompt, enc.pos, temp, topp, lora=lora
             )
@@ -559,18 +585,13 @@ class ContinuousBatchingEngine:
 
     def prepare_gaze(self, image, eye, force_detect: bool = False,
                      variant: Optional[str] = None) -> PreparedRequest:
-        if self.spec_k:
-            raise ValueError(
-                "structured requests are not supported with speculative "
-                "serving (speculative=0 to mix gaze into the pool)"
-            )
         model = self.model
         lora, vid = self._resolve_variant(variant)
         enc = model.encode_image(
             image, settings={"variant_tree": lora, "variant_label": variant}
             if lora is not None else None
         )
-        kv1 = model.load_encoded_image(enc)
+        kv1 = model.load_encoded_image(enc, slots=self.slot_len)
         hidden, next_token, pos, kv1 = model._gaze_prefill(
             kv1, enc.pos, tuple(eye), lora=lora
         )
@@ -598,12 +619,8 @@ class ContinuousBatchingEngine:
                            variant: Optional[str] = None) -> PreparedRequest:
         """Encode + prefill a detect/point request without touching the
         pool (the structured analog of prepare(); same serialization
-        contract)."""
-        if self.spec_k:
-            raise ValueError(
-                "structured requests are not supported with speculative "
-                "serving (speculative=0 to mix detect/point into the pool)"
-            )
+        contract). Composes with speculative serving: greedy pools run
+        struct rows inside the span-verify chunks (serve_chunk_mixed_spec)."""
         n_obj = self.max_objects if max_objects is None else int(max_objects)
         if n_obj > self.max_objects:
             raise ValueError(
@@ -621,7 +638,7 @@ class ContinuousBatchingEngine:
             image, settings={"variant_tree": lora, "variant_label": variant}
             if lora is not None else None
         )
-        kv1 = model.load_encoded_image(enc)
+        kv1 = model.load_encoded_image(enc, slots=self.slot_len)
         prompt = (
             list(templates["prefix"])
             + model._encode_text(" " + object)
@@ -661,7 +678,26 @@ class ContinuousBatchingEngine:
             {"loras": self._loras, "vids": self.vid}
             if self._loras is not None else {}
         )
-        if use_mixed:
+        # speculative x structured composition: greedy pools mix spec text
+        # rows and structured rows in ONE span-verify chunk; a sampled pool
+        # with structured rows falls back to the plain mixed chunk (spec
+        # rejection-sampling and the coordinate state machine aren't
+        # composed — text rows just lose drafting for those chunks)
+        use_mixed_spec = use_mixed and self.spec_k and not self._sampling_used
+        was_spec = bool(self.spec_k) and (not use_mixed or use_mixed_spec)
+        if use_mixed_spec:
+            res = self._mixed_spec_chunk_fn()(
+                self.model.params["text"], self.model.params["region"],
+                self.kv, self.cur, self.pos, self.active, self.budget,
+                self.hist, self.hist_cnt, self.mode, self.hidS,
+                self.pending, self.xbuf, self.ybuf, self.sboxes, self.nobj,
+                self.is_box, **lora_kw,
+            )
+            self.hist, self.hist_cnt = res.hist, res.hist_cnt
+            self.mode, self.hidS, self.pending = res.mode, res.hid, res.pending
+            self.xbuf, self.ybuf = res.xbuf, res.ybuf
+            self.sboxes, self.nobj = res.boxes, res.nobj
+        elif use_mixed:
             res = self._mixed_chunk_fn()(
                 self.model.params["text"], self.model.params["region"],
                 self.kv, self.cur, self.pos, self.active, self.budget,
@@ -711,9 +747,7 @@ class ContinuousBatchingEngine:
         owners = {
             i: s.req_id for i, s in enumerate(self.slots) if s.active
         }
-        self._inflight.append(
-            (res, owners, bool(self.spec_k) and not use_mixed)
-        )
+        self._inflight.append((res, owners, was_spec))
 
     @property
     def spec_accept_rate(self) -> Optional[float]:

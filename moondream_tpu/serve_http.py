@@ -280,11 +280,9 @@ class ServingFrontend:
         # detect/point through the continuous pool (mixed chunks) instead
         # of the single-path + same-object coalescer: heterogeneous
         # objects and text requests advance together in one fused step
+        # composes with speculative serving: greedy pools run structured
+        # rows inside the span-verify chunks (serve_chunk_mixed_spec)
         self.struct_pool = bool(struct_pool)
-        if self.struct_pool and speculative:
-            raise ValueError(
-                "struct_pool is not supported with speculative serving"
-            )
         self._lock = threading.Lock()  # pool state: step / admit / results
         # model-level work (encode+prefill of admissions, detect/point):
         # serialized among themselves but NOT against the pool stepper —

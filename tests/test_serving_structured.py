@@ -122,14 +122,75 @@ def test_structured_cancel_and_spec_guard(model, images):
     out = eng.drain()
     assert "points" in out[r2]
 
-    spec_eng = ContinuousBatchingEngine(
-        model, n_slots=2, slot_len=1024, chunk=2, speculative=4
-    )
-    with pytest.raises(ValueError, match="speculative"):
-        spec_eng.submit_detect(images[0], "object")
-
     with pytest.raises(ValueError, match="max_objects"):
         eng.submit_detect(images[0], "object", max_objects=50)
+
+
+def test_structured_composes_with_speculative(model, images):
+    """Speculative x structured composition (serve_chunk_mixed_spec): one
+    greedy pool serves a caption at spec speed AND detect/point/gaze
+    concurrently, each token/box-identical to its single-path result and
+    to the non-spec pool."""
+    S = {"max_objects": 4}
+    want_cap = _sequential_caption(model, images[2], 12)
+    want_det = model.detect(images[0], "object", settings=S)
+    want_pts = model.point(images[1], "thing", settings=S)
+    want_gaze = model.detect_gaze(images[0], eye=(0.4, 0.3))
+
+    eng = ContinuousBatchingEngine(
+        model, n_slots=4, slot_len=1024, chunk=3, max_objects=4,
+        speculative=3,
+    )
+    r_cap = eng.submit(images[2], max_tokens=12)
+    r_det = eng.submit_detect(images[0], "object")
+    eng.step()  # struct + text advance together mid-flight
+    r_pts = eng.submit_point(images[1], "thing")
+    r_gaze = eng.submit_gaze(images[0], (0.4, 0.3))
+    out = eng.drain()
+    assert out[r_cap] == want_cap
+    assert out[r_det] == want_det
+    assert out[r_pts] == want_pts
+    assert out[r_gaze] == want_gaze
+
+    # slot reuse after spec-mixed chunks: a fresh text request in a slot a
+    # structured one vacated decodes correctly (mode + history reset)
+    r_cap2 = eng.submit(images[0], max_tokens=8)
+    out = eng.drain()
+    assert out[r_cap2] == _sequential_caption(model, images[0], 8)
+
+
+def test_spec_pool_structured_only(model, images):
+    """An all-structured pool under speculation: every chunk routes
+    through the mixed-spec path (no text rows at all)."""
+    S = {"max_objects": 3}
+    want_det = model.detect(images[0], "object", settings=S)
+    want_pts = model.point(images[1], "thing", settings=S)
+    eng = ContinuousBatchingEngine(
+        model, n_slots=2, slot_len=1024, chunk=2, max_objects=3,
+        speculative=4,
+    )
+    r_det = eng.submit_detect(images[0], "object")
+    r_pts = eng.submit_point(images[1], "thing")
+    out = eng.drain()
+    assert out[r_det] == want_det
+    assert out[r_pts] == want_pts
+
+
+def test_spec_pool_sampled_falls_back_to_plain_mixed(model, images):
+    """A SAMPLED pool containing structured rows must still produce
+    correct boxes (the engine falls back to the plain mixed chunk when
+    sampling is in use — spec drafting pauses, correctness holds)."""
+    S = {"max_objects": 3}
+    want_det = model.detect(images[0], "object", settings=S)
+    eng = ContinuousBatchingEngine(
+        model, n_slots=2, slot_len=1024, chunk=2, max_objects=3,
+        speculative=4,
+    )
+    r_txt = eng.submit(images[2], max_tokens=8, temperature=0.7, top_p=0.9)
+    r_det = eng.submit_detect(images[0], "object")
+    out = eng.drain()
+    assert out[r_det] == want_det
+    assert isinstance(out[r_txt], str)
 
 
 def test_structured_pool_with_int8_kv(images):
