@@ -285,3 +285,147 @@ def generate_points_batched(
         ),
     )
     return BatchedPointsResult(boxes=boxes, counts=counts, kv=kv, pos=pos)
+
+
+class BatchedSpecGenerateResult(NamedTuple):
+    tokens: jax.Array  # (B, buffer) int32
+    counts: jax.Array  # (B,) int32
+    kv: KVCache
+    pos: jax.Array  # (B,) int32 — rows desync as acceptance varies
+
+
+def generate_text_spec_batched(
+    text_params: dict,
+    kv: KVCache,
+    first_tokens: jax.Array,  # (B,)
+    pos: jax.Array,  # scalar int32 — shared start position
+    max_tokens: jax.Array,
+    config: TextConfig,
+    eos_id: int,
+    suppress_ids: Tuple[int, ...],
+    buffer: int,
+    spec_k: int = 8,
+    kv_bound: Optional[int] = None,
+    hist_init: Optional[jax.Array] = None,  # (B, H) prompt-seeded history
+    hist_cnt_init: Optional[jax.Array] = None,  # (B,)
+) -> BatchedSpecGenerateResult:
+    """SPECULATIVE lockstep batched generation (greedy, exact).
+
+    The lockstep loop starts every row at the same position; per-row
+    n-gram drafts are verified in ONE ragged span forward per iteration
+    (engine/serving.py:ragged_verify_step), so each iteration advances
+    every active row by 1..spec_k tokens for a single pass over the
+    weights. Rows desync as acceptance varies — positions become (B,) —
+    but the whole generation stays ONE fused lax.while_loop: no per-chunk
+    host syncs, no slot-admission copies (the gap that made a pooled spec
+    stream slower than this). Token-identical to generate_text_batched at
+    temperature 0 (same caveat as generate_text_spec: span vs single-step
+    logit accumulation equality is validated empirically).
+
+    `hist_init`/`hist_cnt_init`: optional prompt-seeded draft histories
+    (prompt-lookup); defaults to empty (drafts warm up from generated
+    tokens)."""
+    from .serving import ragged_verify_step
+
+    bsz = first_tokens.shape[0]
+    H = buffer
+    tokens0 = jnp.zeros((bsz, buffer), jnp.int32)
+    counts0 = jnp.zeros((bsz,), jnp.int32)
+    rows = jnp.arange(bsz, dtype=jnp.int32)
+    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
+    max_pos = kv_bound or config.max_context
+
+    if hist_init is None:
+        hist0 = jnp.zeros((bsz, H), jnp.int32)
+        cnt0 = jnp.zeros((bsz,), jnp.int32)
+    else:
+        pad = H - hist_init.shape[1]
+        hist0 = (
+            jnp.pad(hist_init, ((0, 0), (0, pad))) if pad > 0
+            else hist_init[:, :H]
+        ).astype(jnp.int32)
+        cnt0 = jnp.minimum(hist_cnt_init, H).astype(jnp.int32)
+
+    posv0 = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (bsz,))
+    bud0 = jnp.minimum(
+        jnp.asarray(max_tokens, jnp.int32),
+        jnp.int32(max_pos) - posv0 - jnp.int32(spec_k),
+    )
+    act0 = (first_tokens != eos_id) & (bud0 > 0)
+
+    def cond(c):
+        act = c[3]
+        return jnp.any(act)
+
+    def body(c):
+        kv_, cur, posv, act, bud, h_, cnt, toks, counts = c
+
+        # emit cur + append to history (same scheme as serve_chunk_spec)
+        toks = toks.at[rows, jnp.where(act, counts, buffer)].set(
+            cur, mode="drop"
+        )
+        h_ = h_.at[rows, jnp.where(act, jnp.minimum(cnt, H - 1), H)].set(
+            cur, mode="drop"
+        )
+        cnt1 = cnt + act.astype(jnp.int32)
+
+        # per-row bigram draft from the history
+        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
+        succ = jnp.roll(h_, -1, axis=1)
+        match = (
+            (t_idx <= (cnt1 - 3)[:, None])
+            & (h_ == prev[:, None])
+            & (succ == cur[:, None])
+        )
+        any_match = jnp.any(match, axis=1)
+        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
+        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
+        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
+        draft = jnp.take_along_axis(h_, gather, axis=1)
+        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+
+        q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
+        logits, _, kv_ = ragged_verify_step(
+            text_params, kv_, q_toks, posv, config, kv_bound
+        )
+        for sid in suppress_ids:
+            logits = logits.at[:, :, sid].set(NEG_INF)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        ok = (draft == g[:, :-1]).astype(jnp.int32)
+        m = 1 + jnp.sum(jnp.cumprod(ok, axis=1), axis=1)
+        is_eos = g == eos_id
+        eos_pos = jnp.argmax(is_eos, axis=1)
+        m = jnp.where(
+            jnp.any(is_eos, axis=1) & (eos_pos + 1 < m), eos_pos + 1, m
+        )
+        m = jnp.minimum(m, bud)
+        m = jnp.where(act, m, 0)
+
+        for j in range(spec_k - 1):
+            valid = act & (j + 1 < m)
+            toks = toks.at[rows, jnp.where(valid, counts + 1 + j, buffer)].set(
+                g[:, j], mode="drop"
+            )
+            h_ = h_.at[
+                rows, jnp.where(valid, jnp.minimum(cnt1 + j, H - 1), H)
+            ].set(g[:, j], mode="drop")
+
+        nxt = g[rows, jnp.maximum(m - 1, 0)]
+        cur = jnp.where(act, nxt, cur)
+        posv = posv + m
+        bud = bud - m
+        cnt2 = cnt1 + jnp.maximum(m - 1, 0) * act.astype(jnp.int32)
+        counts = counts + m
+        act = (
+            act & (cur != eos_id) & (bud > 0) & (posv + spec_k <= max_pos)
+        )
+        return (kv_, cur, posv, act, bud, h_, cnt2, toks, counts)
+
+    kv, _, posv, _, _, _, _, tokens, counts = jax.lax.while_loop(
+        cond, body,
+        (kv, first_tokens, posv0, act0, bud0, hist0, cnt0, tokens0, counts0),
+    )
+    return BatchedSpecGenerateResult(
+        tokens=tokens, counts=counts, kv=kv, pos=posv
+    )

@@ -58,13 +58,22 @@ class BatchPipeline:
         batch_size: int = 8,
         prefetch: int = 2,
         eos_id: Optional[int] = None,
+        speculative: int = 0,
     ):
         """`eos_id=None` uses the model's EOS; benchmark harnesses pass -1
         to force fixed-length generation (timing independent of logits).
-        `prefetch` bounds how many crop batches may be in flight to HBM."""
+        `prefetch` bounds how many crop batches may be in flight to HBM.
+
+        `speculative=k` (greedy settings only): decode via ONE fused
+        lockstep speculative loop per batch — per-row n-gram drafts
+        verified k tokens at a time, prompt-seeded histories, exact greedy
+        tokens (engine/batched.py:generate_text_spec_batched). Rows desync
+        internally but the device graph stays a single dispatch, so the
+        encode/decode overlap of the pipeline is untouched."""
         self.model = model
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self.spec_k = max(0, int(speculative))
         self.eos_id = (
             model.config.tokenizer.eos_id if eos_id is None else eos_id
         )
@@ -229,6 +238,23 @@ class BatchPipeline:
             jnp.float32(top_p),
         ).astype(jnp.int32)
 
+        if self.spec_k and temperature <= 0 and lora is None:
+            # prompt-seeded draft histories (prompt-lookup), same rows
+            seed = ids[-(cfg.text.max_context // 2):]
+            hist = jnp.broadcast_to(
+                jnp.asarray(seed, jnp.int32)[None, :], (bsz, len(seed))
+            )
+            res = model._generate_spec_batched_fn(
+                self.eos_id, (cfg.tokenizer.answer_id,),
+                cfg.text.max_context, bound, self.spec_k,
+            )(
+                model.params["text"], kv, first, jnp.int32(seq + length),
+                jnp.int32(max_tokens),
+                hist_init=hist,
+                hist_cnt_init=jnp.full((bsz,), len(seed), jnp.int32),
+            )
+            return res
+
         res = model._generate_batched_fn(
             self.eos_id, (cfg.tokenizer.answer_id,),
             cfg.text.max_context, bound,
@@ -248,3 +274,156 @@ class BatchPipeline:
             )
             for b in range(n_real)
         ]
+
+
+class PooledPipeline:
+    """Stream captions/VQA through the continuous-batching pool with a
+    producer thread overlapping encode against decode chunks.
+
+    BatchPipeline decodes in LOCKSTEP (one fused loop per batch of B); the
+    pool decodes RAGGED per-slot chunks, which composes with speculative
+    decoding (`speculative=k` drafts per-row and verifies k-token spans in
+    one forward — engine/serving.py:serve_chunk_spec). This is the
+    spec-pipelined serving configuration: the producer thread runs host
+    crops + ONE batched ViT per wave + per-image prompt prefills
+    (model-level work only; the model's KV-buffer pool is thread-safe),
+    while the main thread admits PreparedRequests into free slots and
+    keeps step()ping the pool — the same prepare/admit split the HTTP
+    frontend uses (models/serve.py:prepare).
+
+    Token-identical to submitting every image through the pool serially
+    (greedy pools; tests/test_pipeline.py). The reference has no batched
+    or speculative path at all (hf_moondream.py:99-103,
+    moondream.py:481-528)."""
+
+    def __init__(
+        self,
+        model,
+        n_slots: int = 16,
+        slot_len: int = 1024,
+        chunk: int = 8,
+        speculative: int = 0,
+        wave: Optional[int] = None,
+        prefetch: int = 1,
+        eos_id: Optional[int] = None,
+    ):
+        """`wave`: images per producer encode batch (default n_slots // 2).
+        `prefetch`: encoded waves allowed to queue ahead of admission.
+        HBM note: every prepared-but-unadmitted request holds a
+        slot_len-bounded KV buffer (~0.2 GB at 2B bf16 / 1024 slots), so
+        in-flight admissions cost up to wave * (prefetch + 1) buffers on
+        top of the pool — prefetch=1 keeps that bounded."""
+        from ..models.serve import ContinuousBatchingEngine
+
+        self.engine = ContinuousBatchingEngine(
+            model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
+            pipeline_depth=2, speculative=speculative, eos_id=eos_id,
+        )
+        self.wave = max(1, wave if wave is not None else n_slots // 2)
+        self.prefetch = prefetch
+
+    def caption(
+        self,
+        images,
+        length: str = "normal",
+        settings: Optional[Dict[str, Any]] = None,
+    ) -> List[str]:
+        return self.run(images, question=None, length=length,
+                        settings=settings)
+
+    def query(
+        self, images, question: str, settings: Optional[Dict[str, Any]] = None
+    ) -> List[str]:
+        return self.run(images, question=question, settings=settings)
+
+    def run(
+        self,
+        images,
+        question: Optional[str] = None,
+        length: str = "normal",
+        settings: Optional[Dict[str, Any]] = None,
+    ) -> List[str]:
+        eng = self.engine
+        model = eng.model
+        images = list(images)
+        if not images:
+            return []
+        max_tokens, temperature, top_p = model._settings(settings)
+
+        work: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for start in range(0, len(images), self.wave):
+                    chunk_imgs = images[start : start + self.wave]
+                    # one batched ViT + one batched [BOS, image] prefill
+                    encs = model.encode_images(chunk_imgs)
+                    preps = []
+                    for j, enc in enumerate(encs):
+                        preps.append((
+                            start + j,
+                            eng.prepare(
+                                enc, question=question,
+                                caption_length=length,
+                                temperature=temperature, top_p=top_p,
+                            ),
+                        ))
+                    if stop.is_set():
+                        for _, p in preps:
+                            eng.release_prepared(p)
+                        return
+                    work.put(preps)
+                work.put(None)
+            except Exception as e:
+                work.put(e)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+
+        texts: List[Optional[str]] = [None] * len(images)
+        rid2idx: Dict[int, int] = {}
+        ready: List[Any] = []  # (idx, prep) awaiting a free slot
+        producer_done = False
+        done = 0
+        try:
+            while done < len(images):
+                # refill the ready list: poll while the pool has work, block
+                # only when it would otherwise spin idle waiting on encodes
+                if not producer_done:
+                    pool_idle = (
+                        not any(s.active for s in eng.slots)
+                        and not eng._inflight
+                    )
+                    try:
+                        item = work.get(block=pool_idle and not ready)
+                        if item is None:
+                            producer_done = True
+                        elif isinstance(item, Exception):
+                            raise item
+                        else:
+                            ready.extend(item)
+                    except queue.Empty:
+                        pass
+                # admit into free slots
+                while ready and eng.free_slots():
+                    idx, prep = ready.pop(0)
+                    rid2idx[eng.admit_prepared(prep, max_tokens=max_tokens)] = idx
+                for rid in eng.step():
+                    texts[rid2idx[rid]] = eng.results.pop(rid)
+                    eng.token_counts.pop(rid, None)
+                    done += 1
+        finally:
+            stop.set()
+            while True:
+                try:
+                    item = work.get_nowait()
+                    if isinstance(item, list):
+                        for _, p in item:
+                            eng.release_prepared(p)
+                except queue.Empty:
+                    break
+            for _, p in ready:
+                eng.release_prepared(p)
+            producer.join(timeout=10)
+        return texts  # type: ignore[return-value]
