@@ -47,7 +47,21 @@ if __name__ == "__main__":
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--tokenizer", type=str, default=None)
     parser.add_argument("--skip", type=str, nargs="*", default=[])
+    # quantized-config accuracy gates (eval/quant_drift.py documents the
+    # promotion criteria): run the full suite under the exact quantized
+    # serving configuration to compare against the bf16 run
+    parser.add_argument("--int4", action="store_true",
+                        help="runtime-int4 text weights (fused dequant "
+                             "kernel) — the quantized serving config")
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="int8 KV cache")
+    parser.add_argument("--vit8", action="store_true",
+                        help="int8 ViT block matmuls (beyond-reference "
+                             "PTQ; gate before production use)")
     args = parser.parse_args()
 
-    model = create_model(args.model, args.config, args.tokenizer)
+    model = create_model(
+        args.model, args.config, args.tokenizer,
+        int4=args.int4, kv_int8=args.kv_int8, vit8=args.vit8,
+    )
     eval_all(model, skip=args.skip)
