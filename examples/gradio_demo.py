@@ -44,6 +44,34 @@ def main():
             buffer += chunk
             yield buffer, None
 
+    # ---- multi-turn chat with history (the reference's legacy demos
+    # documented this flow, gradio_demo.py:52-105 / root sample.py): prior
+    # turns fold into the question as "Question/Answer" pairs, and the
+    # image encodes ONCE per upload (EncodedImage reuse across turns).
+    import hashlib
+
+    import numpy as np
+
+    _enc_cache = {}
+
+    def _encoded(img):
+        key = hashlib.sha256(np.asarray(img).tobytes()).hexdigest()
+        if key not in _enc_cache:
+            _enc_cache.clear()  # keep exactly one image's KV snapshot
+            _enc_cache[key] = model.encode_image(img)
+        return _enc_cache[key]
+
+    def chat_fn(img, history, msg):
+        history = list(history or [])
+        if img is None or not (msg or "").strip():
+            return history, ""
+        convo = "".join(
+            f"Question: {u}\n\nAnswer: {a}\n\n" for u, a in history
+        )
+        question = (convo + "Question: " + msg) if convo else msg
+        ans = model.query(_encoded(img), question)["answer"]
+        return history + [(msg, ans)], ""
+
     def detect(img, obj):
         if img is None:
             return None
@@ -71,6 +99,19 @@ def main():
                 det_img = gr.Image(type="pil", label="Detections")
         btn.click(answer, [img, prompt], [out, det_img])
         det_btn.click(detect, [img, obj], det_img)
+
+        gr.Markdown("## Chat (multi-turn, history folded into the prompt)")
+        with gr.Row():
+            chatbox = gr.Chatbot(label="Conversation")
+        with gr.Row():
+            chat_msg = gr.Textbox(
+                label="Message", value="What is in this image?", scale=4
+            )
+            chat_btn = gr.Button("Send")
+            chat_clear = gr.Button("Clear")
+        chat_btn.click(chat_fn, [img, chatbox, chat_msg], [chatbox, chat_msg])
+        chat_msg.submit(chat_fn, [img, chatbox, chat_msg], [chatbox, chat_msg])
+        chat_clear.click(lambda: ([], ""), None, [chatbox, chat_msg])
 
     demo.queue().launch()
 
