@@ -306,6 +306,7 @@ class PooledPipeline:
         wave: Optional[int] = None,
         prefetch: int = 1,
         eos_id: Optional[int] = None,
+        prefix_share: bool = False,
     ):
         """`wave`: images per producer encode batch (default n_slots // 2).
         `prefetch`: encoded waves allowed to queue ahead of admission.
@@ -318,6 +319,7 @@ class PooledPipeline:
         self.engine = ContinuousBatchingEngine(
             model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
             pipeline_depth=2, speculative=speculative, eos_id=eos_id,
+            prefix_share=prefix_share,
         )
         self.wave = max(1, wave if wave is not None else n_slots // 2)
         self.prefetch = prefetch

@@ -64,13 +64,24 @@ def _ragged_attn(
     quant: Optional[dict] = None,
     lora_l: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
+    prefix_len: int = 0,
 ) -> Tuple[jax.Array, KVCache]:
     """One ragged decode attention layer: per-row positions everywhere.
     x may be a SPAN (S, Tq, D) with Tq > 1 (speculative verify): row s's
     query i sits at position pos[s] + i, cache writes land as per-row
     Tq-token spans, and the ragged span kernel masks col <= pos[s] + i.
     `lora_l`/`vids`: per-row LoRA adapters (one layer's variant-stacked
-    {"qkv"/"proj": {A, B}} factors) for multi-variant serving."""
+    {"qkv"/"proj": {A, B}} factors) for multi-variant serving.
+
+    Prefix-shared mode (`pref` + `pids` + `prefix_len`): `kv` is a SUFFIX
+    cache (row s's col j = global position prefix_len + j; writes land at
+    pos[s] - prefix_len) and `pref` holds P shared read-only image
+    prefixes (positions [0, prefix_len), one copy per distinct image) —
+    row s attends over pref[pids[s]] ++ its own suffix. pos stays GLOBAL.
+    N same-image slots hold one prefix copy (reference n/a — batch-1
+    reference rebuilds the full KV per request, moondream.py:620-623)."""
     bsz, q_len = x.shape[0], x.shape[1]
     if quant is not None:
         qkv = text_ops._q_lin(x, quant["qkv"], w["qkv"]["b"], layer)
@@ -97,21 +108,27 @@ def _ragged_attn(
     for s in range(bsz):
         k_row = kp[s : s + 1][None]  # (1, 1, hp, Tq, dd)
         v_row = vp[s : s + 1][None]
+        # prefix-shared mode: writes land in the SUFFIX segment (global
+        # position - prefix_len; clamped for idle rows at pos 0, whose
+        # garbage rows are re-written at admission and causally masked)
+        wpos = (
+            jnp.maximum(pos[s] - prefix_len, 0) if prefix_len else pos[s]
+        )
         if int8:
             k_row, ks_row = text_ops.quantize_kv(k_row)
             v_row, vs_row = text_ops.quantize_kv(v_row)
             # scales store T on the last axis: (1, 1, hp, 1, Tq)
             ks_cache = jax.lax.dynamic_update_slice(
-                ks_cache, jnp.swapaxes(ks_row, -1, -2), (layer, s, 0, 0, pos[s])
+                ks_cache, jnp.swapaxes(ks_row, -1, -2), (layer, s, 0, 0, wpos)
             )
             vs_cache = jax.lax.dynamic_update_slice(
-                vs_cache, jnp.swapaxes(vs_row, -1, -2), (layer, s, 0, 0, pos[s])
+                vs_cache, jnp.swapaxes(vs_row, -1, -2), (layer, s, 0, 0, wpos)
             )
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_row.astype(k_cache.dtype), (layer, s, 0, pos[s], 0)
+            k_cache, k_row.astype(k_cache.dtype), (layer, s, 0, wpos, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_row.astype(v_cache.dtype), (layer, s, 0, pos[s], 0)
+            v_cache, v_row.astype(v_cache.dtype), (layer, s, 0, wpos, 0)
         )
     kv = KVCache(k=k_cache, v=v_cache, ks=ks_cache, vs=vs_cache)
 
@@ -121,6 +138,11 @@ def _ragged_attn(
         out = decode_attention_cached(
             q, kv.k, kv.v, layer, pos, jnp.int32(0), kv_bound,
             k_scale=kv.ks, v_scale=kv.vs,
+            pref_k=pref.k if pref is not None else None,
+            pref_v=pref.v if pref is not None else None,
+            pref_ks=pref.ks if pref is not None else None,
+            pref_vs=pref.vs if pref is not None else None,
+            pids=pids, prefix_len=prefix_len,
         )
     else:
         k_l = jax.lax.dynamic_index_in_dim(kv.k, layer, 0, keepdims=False)
@@ -143,6 +165,35 @@ def _ragged_attn(
             )
         k_l = text_ops.unpair_kv(k_l, pf)
         v_l = text_ops.unpair_kv(v_l, pf)
+        if pref is not None:
+            # gather each row's shared prefix and splice it ahead of the
+            # suffix: col j < prefix_len is global position j, suffix col
+            # j is prefix_len + j — identical math to the fused kernel
+            pk_l = jax.lax.dynamic_index_in_dim(
+                pref.k, layer, 0, keepdims=False
+            )[pids][:, :, :prefix_len]
+            pv_l = jax.lax.dynamic_index_in_dim(
+                pref.v, layer, 0, keepdims=False
+            )[pids][:, :, :prefix_len]
+            if pref.ks is not None:
+                pks_l = jax.lax.dynamic_index_in_dim(
+                    pref.ks, layer, 0, keepdims=False
+                )[pids][:, :, :, :prefix_len]
+                pvs_l = jax.lax.dynamic_index_in_dim(
+                    pref.vs, layer, 0, keepdims=False
+                )[pids][:, :, :, :prefix_len]
+                pk_l = text_ops.dequantize_kv(
+                    pk_l, jnp.swapaxes(pks_l, -1, -2), q.dtype
+                )
+                pv_l = text_ops.dequantize_kv(
+                    pv_l, jnp.swapaxes(pvs_l, -1, -2), q.dtype
+                )
+            k_l = jnp.concatenate(
+                [text_ops.unpair_kv(pk_l, pf), k_l], axis=2
+            )
+            v_l = jnp.concatenate(
+                [text_ops.unpair_kv(pv_l, pf), v_l], axis=2
+            )
         from ..ops.layers import sdpa
 
         tk = k_l.shape[2]
@@ -172,6 +223,9 @@ def ragged_hidden_step(
     kv_bound: Optional[int] = None,
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
+    prefix_len: int = 0,
 ) -> Tuple[jax.Array, KVCache]:
     """One decoder forward for the whole slot pool at per-row positions,
     from caller-supplied input embeddings (text tokens, coordinate
@@ -195,7 +249,7 @@ def ragged_hidden_step(
             lidx, pos, config, kv_bound,
             quant=blocks_q["attn"] if blocks_q else None,
             lora_l=lora_l["attn"] if lora_l is not None else None,
-            vids=vids,
+            vids=vids, pref=pref, pids=pids, prefix_len=prefix_len,
         )
         lora_mlp = lora_l["mlp"] if lora_l is not None else None
         if blocks_q is not None:
@@ -244,12 +298,16 @@ def ragged_decode_step(
     kv_bound: Optional[int] = None,
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
+    prefix_len: int = 0,
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step for the whole slot pool at per-row positions.
     Returns ((S, V) logits, new cache)."""
     x = text_params["wte"][tokens][:, None, :]
     hidden, kv_new = ragged_hidden_step(
-        text_params, kv, x, pos, config, kv_bound, loras=loras, vids=vids
+        text_params, kv, x, pos, config, kv_bound, loras=loras, vids=vids,
+        pref=pref, pids=pids, prefix_len=prefix_len,
     )
     return lm_logits_batched(hidden, text_params), kv_new
 
@@ -277,12 +335,15 @@ def serve_chunk(
     top_p: jax.Array,
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
     *,
     config: TextConfig,
     eos_id: int,
     suppress_ids: Tuple[int, ...],
     chunk: int,
     kv_bound: Optional[int] = None,
+    prefix_len: int = 0,
 ) -> ServeChunkResult:
     """Advance every active slot by up to `chunk` tokens in one jitted
     device loop. Inactive slots hold position (their cache writes land on
@@ -291,7 +352,8 @@ def serve_chunk(
     S = cur_tokens.shape[0]
     toks0 = jnp.zeros((S, chunk), jnp.int32)
     emit0 = jnp.zeros((S, chunk), jnp.bool_)
-    max_pos = (kv_bound or config.max_context) - 1
+    # kv_bound is the SUFFIX capacity under prefix sharing; pos is global
+    max_pos = (kv_bound or config.max_context) + prefix_len - 1
 
     def body(i, c):
         kv_, cur, pos_, act, bud, rng_, toks, emit = c
@@ -300,6 +362,7 @@ def serve_chunk(
 
         logits, kv_ = ragged_decode_step(
             text_params, kv_, cur, pos_, config, kv_bound,
+            pref=pref, pids=pids, prefix_len=prefix_len,
             loras=loras, vids=vids,
         )
         for sid in suppress_ids:
@@ -336,6 +399,9 @@ def ragged_verify_step(
     vids: Optional[jax.Array] = None,
     x_override: Optional[jax.Array] = None,  # (S, D)
     x_mask: Optional[jax.Array] = None,  # (S,) bool
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
+    prefix_len: int = 0,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """One speculative verify forward for the whole slot pool: every row
     feeds a k-token span at its own position. Returns ((S, k, V) logits,
@@ -365,7 +431,7 @@ def ragged_verify_step(
             lidx, pos, config, kv_bound,
             quant=blocks_q["attn"] if blocks_q else None,
             lora_l=lora_l["attn"] if lora_l is not None else None,
-            vids=vids,
+            vids=vids, pref=pref, pids=pids, prefix_len=prefix_len,
         )
         lora_mlp = lora_l["mlp"] if lora_l is not None else None
         if blocks_q is not None:
@@ -430,6 +496,8 @@ def serve_chunk_spec(
     hist_cnt: jax.Array,  # (S,) int32
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
     *,
     config: TextConfig,
     eos_id: int,
@@ -437,6 +505,7 @@ def serve_chunk_spec(
     n_iter: int,
     spec_k: int,
     kv_bound: Optional[int] = None,
+    prefix_len: int = 0,
 ) -> ServeChunkSpecResult:
     """SPECULATIVE serving chunk (greedy): `n_iter` verify iterations, each
     advancing every active slot by 1..spec_k tokens for one weight pass —
@@ -457,7 +526,7 @@ def serve_chunk_spec(
     col0 = jnp.zeros((S,), jnp.int32)
     rows = jnp.arange(S, dtype=jnp.int32)
     t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]  # (1, H)
-    max_pos = kv_bound or config.max_context
+    max_pos = (kv_bound or config.max_context) + prefix_len
 
     def body(_, c):
         kv_, cur, pos_, act, bud, h_, cnt, col, toks, emit = c
@@ -490,6 +559,7 @@ def serve_chunk_spec(
         logits, _, kv_ = ragged_verify_step(
             text_params, kv_, q_toks, pos_, config, kv_bound,
             loras=loras, vids=vids,
+            pref=pref, pids=pids, prefix_len=prefix_len,
         )
         for sid in suppress_ids:
             logits = logits.at[:, :, sid].set(NEG_INF)
@@ -571,6 +641,8 @@ def serve_chunk_spec_sampled(
     top_p: jax.Array,
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
     *,
     config: TextConfig,
     eos_id: int,
@@ -578,6 +650,7 @@ def serve_chunk_spec_sampled(
     n_iter: int,
     spec_k: int,
     kv_bound: Optional[int] = None,
+    prefix_len: int = 0,
 ) -> ServeChunkSpecSampledResult:
     """Speculative SAMPLING serving chunk: like `serve_chunk_spec` but each
     row's drafts are accepted by rejection against the row's target
@@ -595,7 +668,7 @@ def serve_chunk_spec_sampled(
     col0 = jnp.zeros((S,), jnp.int32)
     rows = jnp.arange(S, dtype=jnp.int32)
     t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
-    max_pos = kv_bound or config.max_context
+    max_pos = (kv_bound or config.max_context) + prefix_len
 
     def body(_, c):
         kv_, cur, pos_, act, bud, h_, cnt, col, toks, emit, rng_ = c
@@ -626,6 +699,7 @@ def serve_chunk_spec_sampled(
         logits, _, kv_ = ragged_verify_step(
             text_params, kv_, q_toks, pos_, config, kv_bound,
             loras=loras, vids=vids,
+            pref=pref, pids=pids, prefix_len=prefix_len,
         )
         for sid in suppress_ids:
             logits = logits.at[:, :, sid].set(NEG_INF)
@@ -780,6 +854,8 @@ def serve_chunk_mixed(
     is_box: jax.Array,  # (S,) bool — detect (boxes) vs point rows
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
     *,
     config: TextConfig,
     eos_id: int,
@@ -787,6 +863,7 @@ def serve_chunk_mixed(
     chunk: int,
     max_objects: int,
     kv_bound: Optional[int] = None,
+    prefix_len: int = 0,
 ) -> ServeChunkMixedResult:
     """One fused chunk over a pool mixing free-text rows (caption/VQA)
     and structured rows (detect/point): every active row advances one
@@ -809,7 +886,8 @@ def serve_chunk_mixed(
     emb_dtype = text_params["wte"].dtype
     toks0 = jnp.zeros((S, chunk), jnp.int32)
     emit0 = jnp.zeros((S, chunk), jnp.bool_)
-    max_pos = (kv_bound or config.max_context) - 1
+    # kv_bound is the SUFFIX capacity under prefix sharing; pos is global
+    max_pos = (kv_bound or config.max_context) + prefix_len - 1
 
     def body(i, c):
         (kv_, cur, pos_, act, bud, rng_, toks, emit,
@@ -889,6 +967,7 @@ def serve_chunk_mixed(
         hid_new, kv_ = ragged_hidden_step(
             text_params, kv_, emb[:, None, :], pos_, config, kv_bound,
             loras=loras, vids=vids,
+            pref=pref, pids=pids, prefix_len=prefix_len,
         )
         logits = lm_logits_batched(hid_new, text_params)
 
@@ -966,6 +1045,8 @@ def serve_chunk_mixed_spec(
     is_box: jax.Array,  # (S,) bool
     loras: Optional[dict] = None,
     vids: Optional[jax.Array] = None,
+    pref: Optional[KVCache] = None,
+    pids: Optional[jax.Array] = None,
     *,
     config: TextConfig,
     eos_id: int,
@@ -974,6 +1055,7 @@ def serve_chunk_mixed_spec(
     spec_k: int,
     max_objects: int,
     kv_bound: Optional[int] = None,
+    prefix_len: int = 0,
 ) -> ServeChunkMixedSpecResult:
     """Speculative MIXED chunk (greedy): text rows draft k-token spans
     from their device-resident histories while structured rows
@@ -1001,7 +1083,7 @@ def serve_chunk_mixed_spec(
     col0 = jnp.zeros((S,), jnp.int32)
     rows = jnp.arange(S, dtype=jnp.int32)
     t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
-    max_pos = kv_bound or config.max_context
+    max_pos = (kv_bound or config.max_context) + prefix_len
 
     def body(_, c):
         (kv_, cur, pos_, act, bud, h_, cnt, col, toks, emit,
@@ -1096,6 +1178,7 @@ def serve_chunk_mixed_spec(
             text_params, kv_, q_toks, pos_, config, kv_bound,
             loras=loras, vids=vids,
             x_override=emb_struct, x_mask=is_struct,
+            pref=pref, pids=pids, prefix_len=prefix_len,
         )
 
         # struct rows hold span position 0's hidden + continue token

@@ -156,6 +156,20 @@ def slice_cache_span(
     return KVCache(k=sl(kv.k), v=sl(kv.v), ks=sls(kv.ks), vs=sls(kv.vs))
 
 
+def slice_cache_span_from(
+    kv: KVCache, start: int, span: int, batch=slice(None)
+) -> KVCache:
+    """Slice [start, start + span) of the time axis out of a cache pytree
+    (static offsets). Prefix-shared serving slices the prompt SUFFIX out
+    of a prefilled buffer — the [BOS, image] prefix lives in the shared
+    prefix pool instead (engine/serving.py:_ragged_attn)."""
+    sl = lambda a: a[:, batch, :, start : start + span, :]
+    sls = lambda a: (
+        None if a is None else a[:, batch, :, :, start : start + span]
+    )
+    return KVCache(k=sl(kv.k), v=sl(kv.v), ks=sls(kv.ks), vs=sls(kv.vs))
+
+
 def text_encoder(input_ids: jax.Array, w: dict) -> jax.Array:
     """Token embedding lookup (reference text.py:12-13). (B, T) -> (B, T, D)."""
     return w["wte"][input_ids]

@@ -484,6 +484,12 @@ def decode_attention_cached(
     interpret: bool = False,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    pref_k: Optional[jax.Array] = None,
+    pref_v: Optional[jax.Array] = None,
+    pref_ks: Optional[jax.Array] = None,
+    pref_vs: Optional[jax.Array] = None,
+    pids: Optional[jax.Array] = None,
+    prefix_len: int = 0,
 ) -> jax.Array:
     """Single-token (or small-span, Tq <= ~16) decode attention reading ONE
     layer of the full stacked KV cache (L, B, Hkv, T, D) — the layer is
@@ -506,6 +512,8 @@ def decode_attention_cached(
         return _decode_attention_paired(
             q, k_cache, v_cache, layer, pos, prefix, kv_bound, interpret,
             k_scale, v_scale,
+            pref_k=pref_k, pref_v=pref_v, pref_ks=pref_ks, pref_vs=pref_vs,
+            pids=pids, prefix_len=prefix_len,
         )
     assert k_scale is None, "int8 KV requires the head-paired layout"
     assert hq % hkv == 0
@@ -528,15 +536,18 @@ def decode_attention_cached(
     kv_ht = max(1, ht // rep)
 
     ragged = hasattr(pos, "ndim") and getattr(pos, "ndim", 0) == 1
+    tkp = 0 if pref_k is None else pref_k.shape[3]
     if ragged:
-        scalars = jnp.concatenate(
-            [
-                jnp.asarray([prefix, layer], jnp.int32),
-                jnp.asarray(pos, jnp.int32),
-            ]
-        )
+        parts = [
+            jnp.asarray([prefix, layer], jnp.int32),
+            jnp.asarray(pos, jnp.int32),
+        ]
+        if pref_k is not None:
+            parts.append(jnp.asarray(pids, jnp.int32))
+        scalars = jnp.concatenate(parts)
         layer_slot = 1
     else:
+        assert pref_k is None, "prefix-shared decode requires ragged pos"
         scalars = jnp.asarray([pos, prefix, layer], jnp.int32)
         layer_slot = 2
     qf = q.reshape(b * hq, tq, d)
@@ -547,16 +558,31 @@ def decode_attention_cached(
         h0 = (i * ht) % hq
         return (s[layer_slot], bi, (h0 // rep) // kv_ht, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec(
+            (ht, tq, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, k_cache, v_cache]
+    if pref_k is not None:
+        def kv_index_p(i, s):
+            bi = (i * ht) // hq
+            h0 = (i * ht) % hq
+            return (s[layer_slot], s[2 + b + bi], (h0 // rep) // kv_ht, 0, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, 1, kv_ht, tkp, d), kv_index_p,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_ht, tkp, d), kv_index_p,
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [pref_k, pref_v]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (ht, tq, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_ht, tk, d), kv_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (ht, tq, d), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -564,7 +590,10 @@ def decode_attention_cached(
 
     if ragged:
         assert rep == 1, "ragged decode assumes MHA (both model configs)"
-        kernel = functools.partial(_decode_kernel_stacked_ragged, ht=ht, hq=hq)
+        kernel = functools.partial(
+            _decode_kernel_stacked_ragged, ht=ht, hq=hq,
+            prefix_len=prefix_len,
+        )
     elif rep == 1:
         kernel = _decode_kernel_stacked
     else:
@@ -575,16 +604,17 @@ def decode_attention_cached(
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * hq * tk * d * tq,
-            bytes_accessed=b * (hq * tq + 2 * hkv) * tk * d * 2,
-            transcendentals=b * hq * tq * tk,
+            flops=2 * 2 * b * hq * (tk + tkp) * d * tq,
+            bytes_accessed=b * (hq * tq + 2 * hkv) * (tk + tkp) * d * 2,
+            transcendentals=b * hq * tq * (tk + tkp),
         ),
-    )(scalars, qf, k_cache, v_cache)
+    )(scalars, *operands)
     return out.reshape(b, hq, tq, d)
 
 
 def _decode_kernel_paired(
-    scalars_ref, q2_ref, k_ref, v_ref, *rest, scale, ragged, ht, hp, tq=1
+    scalars_ref, q2_ref, k_ref, v_ref, *rest, scale, ragged, ht, hp, tq=1,
+    int8=False, prefix_len=0,
 ):
     """Head-paired decode attention: `pf` adjacent MHA heads share one cache
     row on the lane axis (lane block j of width dh belongs to head pf*i+j),
@@ -603,11 +633,16 @@ def _decode_kernel_paired(
     absolute position pos+i. The PV dot returns (PT, pf*tq, pf*dh) where
     row j*tq+i's lane block j holds head pf*p+j's output at query i.
     """
-    if len(rest) == 3:
-        ks_ref, vs_ref, o_ref = rest
-    else:
-        ks_ref = vs_ref = None
-        (o_ref,) = rest
+    rest = list(rest)
+    o_ref = rest.pop()
+    ks_ref = vs_ref = pk_ref = pv_ref = pks_ref = pvs_ref = None
+    if int8:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if prefix_len:
+        pk_ref, pv_ref = rest[0], rest[1]
+        if int8:
+            pks_ref, pvs_ref = rest[2], rest[3]
     if ragged:
         prefix = scalars_ref[0]
         i = pl.program_id(0)
@@ -645,18 +680,75 @@ def _decode_kernel_paired(
     else:
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         qpos = pos + jax.lax.rem(rows, tq)  # row j*tq+i -> position pos+i
-    mask = (cols <= qpos) | ((qpos < prefix) & (cols < prefix))
+    if prefix_len:
+        # prefix-shared cache: this (suffix) segment's col j sits at
+        # GLOBAL position prefix_len + j; positions [0, prefix_len) live
+        # in the shared prefix segment below. Decode queries are always
+        # past the image, so the bidirectional-image clause of the
+        # non-shared path cannot apply here.
+        mask = (prefix_len + cols) <= qpos
+    else:
+        mask = (cols <= qpos) | ((qpos < prefix) & (cols < prefix))
     s = jnp.where(mask, s, jnp.float32(-1e30))
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    if vs_ref is not None:
-        p = p * vs_ref[0, 0]  # fold v-scales into the softmax weights
-    p = p.astype(v.dtype)
-    o2 = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (HT, pf*tq, pf*dh) — row j*tq+i lane block j = head pf*p+j, query i
-    o2 = o2 / denom
+    if prefix_len:
+        pk = (
+            pk_ref[0, 0] if pks_ref is None
+            else pk_ref[0, 0].astype(q2.dtype)
+        )  # (HT, Tp, pf*dh)
+        pv = (
+            pv_ref[0, 0] if pvs_ref is None
+            else pv_ref[0, 0].astype(q2.dtype)
+        )
+        sp = jax.lax.dot_general(
+            q2, pk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (HT, pf*tq, Tp)
+        if pks_ref is None:
+            sp = sp * scale
+        else:
+            sp = sp * (pks_ref[0, 0] * scale)
+        colsp = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 2)
+        if tq == 1:
+            qpos_p = pos
+        else:
+            rowsp = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 1)
+            qpos_p = pos + jax.lax.rem(rowsp, tq)
+        # cols beyond prefix_len are lane padding (the pool rounds the
+        # prefix to 128 lanes); cols <= qpos_p masks everything for
+        # inactive rows (qpos 0), matching the non-shared kernel's
+        # harmless uniform-garbage output there
+        maskp = (colsp <= qpos_p) & (colsp < prefix_len)
+        sp = jnp.where(maskp, sp, jnp.float32(-1e30))
+        tp = sp.shape[2]
+        s_all = jnp.concatenate([sp, s], axis=-1)
+        m = jnp.max(s_all, axis=-1, keepdims=True)
+        p_all = jnp.exp(s_all - m)
+        denom = jnp.sum(p_all, axis=-1, keepdims=True)
+        pp = p_all[..., :tp]
+        ps = p_all[..., tp:]
+        if vs_ref is not None:
+            ps = ps * vs_ref[0, 0]
+            pp = pp * pvs_ref[0, 0]
+        o2 = jax.lax.dot_general(
+            pp.astype(pv.dtype), pv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            ps.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o2 = o2 / denom
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[0, 0]  # fold v-scales into the softmax weights
+        p = p.astype(v.dtype)
+        o2 = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (HT, pf*tq, pf*dh) — row j*tq+i lane block j = head pf*p+j
+        o2 = o2 / denom
     # fold the pf head-rows of each query into ONE paired-layout row:
     # select row (j, i)'s lane block j (a lane-offset slice+concat is
     # unsupported in Mosaic; masked adds relayout cleanly). The wrapper
@@ -685,12 +777,21 @@ def _paired_q2(q: jax.Array, pf: int) -> jax.Array:
 def _decode_attention_paired(
     q, k_cache, v_cache, layer, pos, prefix, kv_bound, interpret,
     k_scale=None, v_scale=None,
+    pref_k=None, pref_v=None, pref_ks=None, pref_vs=None, pids=None,
+    prefix_len=0,
 ) -> jax.Array:
     """Stacked-cache decode attention over the head-paired layout
     (L, B, Hkv/pf, T, pf*dh). Dispatched from decode_attention_cached when
     the cache lane width exceeds the query head_dim (MHA only). With
     k_scale/v_scale (L, B, Hkv/pf, 1, T), the cache holds int8 codes and
-    the kernel folds the scales into scores / softmax weights."""
+    the kernel folds the scales into scores / softmax weights.
+
+    Prefix-shared mode (`pref_k` given, ragged only): the main cache is a
+    SUFFIX segment (col j = global position prefix_len + j) and
+    `pref_k`/`pref_v` (L, P, Hkv/pf, Tp, pf*dh) hold shared read-only
+    image prefixes; row b reads prefix entry `pids[b]` — the entry index
+    feeds the BlockSpec index map from scalar prefetch, so N rows sharing
+    one image hold ONE prefix copy in HBM."""
     b, hq, tq, d = q.shape
     L, _, hp_c, t_max, dd = k_cache.shape
     pf = dd // d
@@ -701,12 +802,14 @@ def _decode_attention_paired(
     tk = min(tk, t_max)
     int8 = k_scale is not None
 
+    tkp = 0 if pref_k is None else pref_k.shape[3]
+
     hp = b * hp_c  # flattened pair rows
     vmem_budget = 12 * 1024 * 1024
     # int8 blocks: 1B codes + a transient bf16 cast copy -> ~3B/elem;
     # spans (tq > 1) add a (pf*tq, tk) fp32 score plane per pair row
     elt = 3 if int8 else 2
-    per_row = 2 * 2 * tk * max(dd, 128) * elt + pf * tq * tk * 4
+    per_row = 2 * 2 * (tk + tkp) * max(dd, 128) * elt + pf * tq * (tk + tkp) * 4
     ht = max(1, vmem_budget // per_row)
     ht = min(hp_c, 1 << (ht.bit_length() - 1))
     while hp_c % ht:
@@ -714,14 +817,16 @@ def _decode_attention_paired(
 
     ragged = hasattr(pos, "ndim") and getattr(pos, "ndim", 0) == 1
     if ragged:
-        scalars = jnp.concatenate(
-            [
-                jnp.asarray([prefix, layer], jnp.int32),
-                jnp.asarray(pos, jnp.int32),
-            ]
-        )
+        parts = [
+            jnp.asarray([prefix, layer], jnp.int32),
+            jnp.asarray(pos, jnp.int32),
+        ]
+        if pref_k is not None:
+            parts.append(jnp.asarray(pids, jnp.int32))
+        scalars = jnp.concatenate(parts)
         layer_slot = 1
     else:
+        assert pref_k is None, "prefix-shared decode requires ragged pos"
         scalars = jnp.asarray([pos, prefix, layer], jnp.int32)
         layer_slot = 2
 
@@ -747,6 +852,29 @@ def _decode_attention_paired(
             pl.BlockSpec((1, 1, ht, 1, tk), kv_index, memory_space=pltpu.VMEM),
         ]
         operands += [k_scale, v_scale]
+    if pref_k is not None:
+        # row b's prefix entry pids[b] comes from scalar prefetch (after
+        # [prefix, layer] and the b per-row positions)
+        def kv_index_p(i, s):
+            bi = (i * ht) // hp_c
+            h0 = (i * ht) % hp_c
+            return (s[1], s[2 + b + bi], h0 // ht, 0, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, 1, ht, tkp, dd), kv_index_p,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ht, tkp, dd), kv_index_p,
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [pref_k, pref_v]
+        if int8:
+            in_specs += [
+                pl.BlockSpec((1, 1, ht, 1, tkp), kv_index_p,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, ht, 1, tkp), kv_index_p,
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [pref_ks, pref_vs]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -758,16 +886,16 @@ def _decode_attention_paired(
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel_paired, scale=scale, ragged=ragged, ht=ht,
-            hp=hp_c, tq=tq,
+            hp=hp_c, tq=tq, int8=int8, prefix_len=prefix_len,
         ),
         out_shape=jax.ShapeDtypeStruct((hp, tq, dd), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * hq * tk * d * tq,
-            bytes_accessed=2 * hp * tk * dd * (1 if int8 else 2)
+            flops=2 * 2 * b * hq * (tk + tkp) * d * tq,
+            bytes_accessed=2 * hp * (tk + tkp) * dd * (1 if int8 else 2)
             + b * hq * tq * d * 2,
-            transcendentals=b * hq * tq * tk,
+            transcendentals=b * hq * tq * (tk + tkp),
         ),
     )(scalars, *operands)
     # unpair: (b*hp_c, tq, pf*d) rows hold pf heads side by side on lanes;
@@ -812,12 +940,19 @@ def _decode_kernel_stacked(scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
 
 
 def _decode_kernel_stacked_ragged(
-    scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale, ht, hq
+    scalars_ref, q_ref, k_ref, v_ref, *rest, scale, ht, hq, prefix_len=0
 ):
     """Per-row-position variant for continuous batching: scalars =
-    [prefix, layer, pos_0, ..., pos_{B-1}]; this program's batch row is
-    derived from the program index. Query row i of a (HT, Tq, D) span
-    block sits at position pos_b + i (speculative serving verify)."""
+    [prefix, layer, pos_0, ..., pos_{B-1}[, pid_0, ..., pid_{B-1}]]; this
+    program's batch row is derived from the program index. Query row i of
+    a (HT, Tq, D) span block sits at position pos_b + i (speculative
+    serving verify). With `prefix_len`, the cache is a SUFFIX segment and
+    pk/pv hold the shared image prefixes (see _decode_attention_paired)."""
+    rest = list(rest)
+    o_ref = rest.pop()
+    pk_ref = pv_ref = None
+    if prefix_len:
+        pk_ref, pv_ref = rest[0], rest[1]
     prefix = scalars_ref[0]
     i = pl.program_id(0)
     bi = (i * ht) // hq
@@ -837,6 +972,38 @@ def _decode_kernel_stacked_ragged(
         qpos = pos
     else:
         qpos = pos + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if prefix_len:
+        mask = (prefix_len + cols) <= qpos
+        s = jnp.where(mask, s, jnp.float32(-1e30))
+        pk = pk_ref[0, 0]
+        pv = pv_ref[0, 0]
+        sp = jax.lax.dot_general(
+            q, pk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        colsp = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 2)
+        if q_ref.shape[1] == 1:
+            qpos_p = pos
+        else:
+            qpos_p = pos + jax.lax.broadcasted_iota(jnp.int32, sp.shape, 1)
+        maskp = (colsp <= qpos_p) & (colsp < prefix_len)
+        sp = jnp.where(maskp, sp, jnp.float32(-1e30))
+        tp = sp.shape[2]
+        s_all = jnp.concatenate([sp, s], axis=-1)
+        m = jnp.max(s_all, axis=-1, keepdims=True)
+        p_all = jnp.exp(s_all - m)
+        p_all = p_all / jnp.sum(p_all, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p_all[..., :tp].astype(pv.dtype), pv,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            p_all[..., tp:].astype(v.dtype), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] = o.astype(o_ref.dtype)
+        return
     mask = (cols <= qpos) | ((qpos < prefix) & (cols < prefix))
     s = jnp.where(mask, s, jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)

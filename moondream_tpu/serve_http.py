@@ -250,9 +250,15 @@ class ServingFrontend:
                  speculative: int = 0, spec_adaptive: float = 0.0,
                  struct_window_s: float = 0.02, encode_cache: int = 0,
                  encode_window_s: float = 0.0, mesh=None,
-                 struct_pool: bool = False, variants=None):
+                 struct_pool: bool = False, variants=None,
+                 prefix_share: bool = False):
         from .models.serve import ContinuousBatchingEngine
 
+        if prefix_share and mesh is not None:
+            raise ValueError(
+                "prefix_share is single-chip for now (the sharded serving "
+                "engine does not shard the prefix pool yet)"
+            )
         engine_kw = dict(
             n_slots=n_slots, slot_len=slot_len, chunk=chunk,
             temperature=temperature, top_p=top_p, speculative=speculative,
@@ -275,7 +281,9 @@ class ServingFrontend:
             )
             model = self.engine.model  # the sharded-params twin
         else:
-            self.engine = ContinuousBatchingEngine(model, **engine_kw)
+            self.engine = ContinuousBatchingEngine(
+                model, prefix_share=prefix_share, **engine_kw
+            )
         self.model = model
         # detect/point through the continuous pool (mixed chunks) instead
         # of the single-path + same-object coalescer: heterogeneous
@@ -1002,7 +1010,8 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8080,
                 speculative: int = 0, spec_adaptive: float = 0.0,
                 struct_window_s: float = 0.02, encode_cache: int = 0,
                 encode_window_s: float = 0.0, mesh=None,
-                struct_pool: bool = False, variants=None):
+                struct_pool: bool = False, variants=None,
+                prefix_share: bool = False):
     """Build (server, frontend); call server.serve_forever() to run."""
     frontend = ServingFrontend(
         model, n_slots=n_slots, slot_len=slot_len, chunk=chunk,
@@ -1010,6 +1019,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8080,
         spec_adaptive=spec_adaptive, struct_window_s=struct_window_s,
         encode_cache=encode_cache, encode_window_s=encode_window_s,
         mesh=mesh, struct_pool=struct_pool, variants=variants,
+        prefix_share=prefix_share,
     )
     handler = type("Handler", (_Handler,), {"frontend": frontend})
     server = ThreadingHTTPServer((host, port), handler)
@@ -1064,6 +1074,13 @@ def main():
                              "seconds). Off by default: the batched ViT is "
                              "allclose-but-not-bit-identical to the single "
                              "path, so near-tie greedy tokens can differ")
+    parser.add_argument("--prefix-share", action="store_true",
+                        help="slots hold only the prompt/answer SUFFIX; "
+                             "repeat images (encode-cache hits) share ONE "
+                             "read-only ~730-token image-prefix KV entry — "
+                             "admission skips the prefix copy and N "
+                             "same-image requests store it once (pair "
+                             "with --encode-cache; single-chip)")
     parser.add_argument("--struct-pool", action="store_true",
                         help="route detect/point through the continuous "
                              "batching pool (mixed text+structured "
@@ -1142,6 +1159,7 @@ def main():
         struct_window_s=args.struct_window, encode_cache=args.encode_cache,
         encode_window_s=args.encode_window, mesh=mesh,
         struct_pool=args.struct_pool, variants=variants,
+        prefix_share=args.prefix_share,
     )
     if mesh is not None:
         # the frontend serves the sharded-params twin; dropping main's

@@ -756,3 +756,40 @@ def test_variants_endpoint(model):
     finally:
         srv.shutdown()
         frontend.shutdown()
+
+
+def test_prefix_share_with_encode_cache(model):
+    """--prefix-share: an encode-cache hit hands the pool the SAME
+    EncodedImage, so same-image requests share ONE prefix entry; outputs
+    identical to a plain server."""
+    srv0, fr0 = make_server(model, "127.0.0.1", 0, n_slots=2, chunk=4)
+    srv1, fr1 = make_server(
+        model, "127.0.0.1", 0, n_slots=2, chunk=4, encode_cache=2,
+        prefix_share=True,
+    )
+    for s in (srv0, srv1):
+        threading.Thread(target=s.serve_forever, daemon=True).start()
+    b0 = f"http://127.0.0.1:{srv0.server_address[1]}"
+    b1 = f"http://127.0.0.1:{srv1.server_address[1]}"
+    try:
+        b64 = _image_b64(60)
+        _, p0 = _post(b0, "/v1/caption", {"image_b64": b64, "max_tokens": 8})
+        _, p1 = _post(b1, "/v1/caption", {"image_b64": b64, "max_tokens": 8})
+        assert p1["caption"] == p0["caption"]
+        _, q0 = _post(
+            b0, "/v1/query",
+            {"image_b64": b64, "question": "What?", "max_tokens": 8},
+        )
+        _, q1 = _post(
+            b1, "/v1/query",
+            {"image_b64": b64, "question": "What?", "max_tokens": 8},
+        )
+        assert q1["answer"] == q0["answer"]
+        # the second same-image request re-hit the mapped prefix entry:
+        # exactly one entry was ever written
+        eng = fr1.engine
+        assert len(eng._pref_pid_of) == 1
+        assert eng.kv.k.shape[3] < eng.kv_pref.k.shape[3]
+    finally:
+        srv0.shutdown(); fr0.shutdown()
+        srv1.shutdown(); fr1.shutdown()
