@@ -275,3 +275,33 @@ def test_speculative_composes_with_variants(model, variant_trees, images):
     assert out[s0] == ref[p0]
     assert out[s1] == ref[p1]
     assert out[s2] == ref[p2]
+
+
+def test_variants_compose_with_prefix_share(model, variant_trees, images):
+    """Prefix-shared pool with per-row adapters: a variant's image prefix
+    is encoded UNDER the adapter, so base and variant requests for the
+    same image hold separate prefix entries, and outputs match the plain
+    multi-variant pool byte for byte."""
+    s = {"temperature": 0.0, "top_p": 0.0, "max_tokens": 10}
+    enc_base = model.encode_image(images[0])
+    enc_v1 = model.encode_image(
+        images[0],
+        settings={"variant_tree": variant_trees["v1"], "variant_label": "v1"},
+    )
+
+    def run(prefix_share):
+        eng = ContinuousBatchingEngine(
+            model, n_slots=3, slot_len=1024, chunk=3,
+            variants=variant_trees, prefix_share=prefix_share,
+        )
+        r0 = eng.submit(enc_base, max_tokens=10)
+        r1 = eng.submit(enc_v1, max_tokens=10, variant="v1")
+        r2 = eng.submit(enc_base, question="what?", max_tokens=10)
+        return eng, (r0, r1, r2), eng.drain()
+
+    _, rids0, out0 = run(False)
+    eng, rids1, out1 = run(True)
+    for a, b in zip(rids0, rids1):
+        assert out1[b] == out0[a]
+    # base (x2, shared) and v1 prefixes are distinct entries
+    assert len(eng._pref_pid_of) == 2
