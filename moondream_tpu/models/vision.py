@@ -53,13 +53,28 @@ def vision_encoder(crops_bhwc: jax.Array, w: dict, config: VisionConfig) -> jax.
     x = linear(x, w["patch_emb"])
     x = x + w["pos_emb"]
 
+    # Token padding is hoisted OUT of the layer scan: pad once to the flash
+    # kernel's 128-lane grid (729 -> 768) and slice once at the end, instead
+    # of the kernel wrapper re-padding q/k/v (three full-activation copies)
+    # and re-slicing the output every layer. Dead tokens are provably
+    # isolated: real rows attend only cols < n_real (`attn(n_real=...)`
+    # mask prefix) and every other block op (LN/MLP/linear) is
+    # token-independent, so real-token outputs are unchanged.
+    n_real = x.shape[1]
+    t_pad = -(-n_real // 128) * 128
+    if t_pad != n_real:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - n_real), (0, 0)))
+
     def block(h, bw):
-        h = h + attn(layer_norm(h, bw["ln1"]), bw["attn"], config.enc_n_heads)
+        h = h + attn(
+            layer_norm(h, bw["ln1"]), bw["attn"], config.enc_n_heads,
+            n_real=n_real,
+        )
         h = h + mlp(layer_norm(h, bw["ln2"]), bw["mlp"])
         return h, None
 
     x, _ = jax.lax.scan(block, x, w.get("blocks_q") or w["blocks"])
-    return layer_norm(x, w["post_ln"])
+    return layer_norm(x[:, :n_real], w["post_ln"])
 
 
 def quantize_vision_params(w: dict) -> dict:

@@ -241,6 +241,7 @@ def flash_attention(
     pos,
     prefix,
     interpret: bool = False,
+    real_rows: Optional[int] = None,
 ) -> jax.Array:
     """Fused attention. q: (B, H, Tq, D); k/v: (B, H, Tk, D).
 
@@ -248,6 +249,9 @@ def flash_attention(
     applies. Tq/Tk are padded to 128 internally; callers slice garbage rows
     themselves (they already do for bucketed shapes). Spans longer than
     FLASH_KV_TILE_THRESHOLD take the online-softmax kv-tiled kernel.
+
+    `real_rows`: rows >= real_rows are caller-discarded padding; only rows
+    < real_rows need the mask rule to hold (see `attention`).
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -255,11 +259,13 @@ def flash_attention(
 
     # Row-independent mask fast path: every real query row attends exactly
     # [0, prefix) (bidirectional ViT / pure-prefix prefills). Detectable
-    # only when pos/prefix arrive as python ints (static).
+    # only when pos/prefix arrive as python ints (static). With real_rows,
+    # only rows the caller keeps must satisfy the condition.
+    n_rows = tq if real_rows is None else min(real_rows, tq)
     row_bias = (
         isinstance(pos, int)
         and isinstance(prefix, int)
-        and pos + tq <= prefix
+        and pos + n_rows <= prefix
         and prefix <= tk
     )
 
@@ -1046,11 +1052,17 @@ def attention(
     pos,
     prefix,
     force_xla: bool = False,
+    real_rows: Optional[int] = None,
 ) -> jax.Array:
     """Dispatch: Pallas kernels on TPU, masked-XLA sdpa elsewhere
     (tests run the CPU path; kernel correctness is tested via interpret).
     k/v may have fewer heads than q (GQA): the decode kernel resolves the
-    group mapping in its index map; other paths repeat here."""
+    group mapping in its index map; other paths repeat here.
+
+    `real_rows`: caller's promise that query rows >= real_rows are dead
+    padding whose outputs it discards — lets the flash kernel keep its
+    row-independent-mask fast path for token-padded bidirectional planes
+    (the ViT runs its whole layer stack at a 128-aligned token count)."""
     hq, hkv = q.shape[1], k.shape[1]
     if not force_xla and _use_pallas():
         if q.shape[2] == 1:
@@ -1059,7 +1071,7 @@ def attention(
             rep = hq // hkv
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
-        return flash_attention(q, k, v, pos, prefix)
+        return flash_attention(q, k, v, pos, prefix, real_rows=real_rows)
 
     from .layers import sdpa
 

@@ -132,11 +132,19 @@ def sdpa(
     return out.astype(q.dtype)
 
 
-def attn(x: jax.Array, w: dict, n_heads: int) -> jax.Array:
+def attn(
+    x: jax.Array, w: dict, n_heads: int, n_real: Optional[int] = None
+) -> jax.Array:
     """Bidirectional MHA with fused QKV, used by the ViT
     (reference layers.py:155-166). x: (B, T, D). Runs the fused Pallas
     flash kernel on TPU (pos=0, prefix=T makes the unified mask rule fully
-    bidirectional); XLA sdpa elsewhere."""
+    bidirectional); XLA sdpa elsewhere.
+
+    `n_real`: when the caller runs the encoder over a token-padded plane
+    (tokens >= n_real are dead padding whose outputs it discards), pass the
+    real token count — rows attend only cols < n_real, so dead tokens never
+    leak into real ones, and the kernel keeps its row-independent-mask fast
+    path."""
     from .attention import attention
 
     bsz, seq, d_model = x.shape
@@ -148,6 +156,7 @@ def attn(x: jax.Array, w: dict, n_heads: int) -> jax.Array:
     k = k.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
 
-    out = attention(q, k, v, pos=0, prefix=seq)
+    prefix = seq if n_real is None else n_real
+    out = attention(q, k, v, pos=0, prefix=prefix, real_rows=prefix)
     out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, d_model)
     return linear(out, w["proj"])

@@ -378,3 +378,31 @@ def test_decode_cached_paired_span_masks_future_garbage():
     np.testing.assert_allclose(run(k_dirty, v_dirty), run(k, v), atol=1e-6)
     np.testing.assert_allclose(run(k, v), _xla(q, k[0], v[0], pos, 0),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_token_padded_plane_real_rows():
+    """The ViT runs its whole layer stack at a 128-aligned token count
+    (vision.py pads 729 -> 768 ONCE before the scan): rows/cols beyond
+    `real_rows` carry live garbage, and the kernel must (a) keep real rows
+    exactly equal to the unpadded computation and (b) still take the
+    row-independent-mask fast path."""
+    rng = np.random.default_rng(7)
+    b, h, t_real, t_pad, d = 2, 4, 729, 768, 72
+    q = (rng.standard_normal((b, h, t_pad, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, t_pad, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, t_pad, d)) * 0.3).astype(np.float32)
+    # dead tokens are bounded but arbitrary — make them adversarial
+    q[:, :, t_real:] = 5.0
+    k[:, :, t_real:] = -5.0
+    v[:, :, t_real:] = 1e3
+
+    padded = np.asarray(
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            0, t_real, interpret=True, real_rows=t_real,
+        )
+    )[:, :, :t_real]
+    unpadded = _pallas(
+        q[:, :, :t_real], k[:, :, :t_real], v[:, :, :t_real], 0, t_real
+    )
+    np.testing.assert_allclose(padded, unpadded, atol=2e-5, rtol=1e-4)
