@@ -51,11 +51,16 @@ def _flash_kernel(
 
     The fp32 (Tq, Tk) score plane is the VPU bottleneck, so the kernel
     touches it as few times as possible: scale is folded into q before the
-    MXU dot, the mask bias rides inside the single fused exp pass (which
-    also downcasts probabilities to bf16 — half the write bytes), and the
-    softmax division is deferred to the (Tq, D)-sized output. Row max is
-    taken over UNMASKED scores — an overestimate on masked rows, which is
-    numerically safe (uniformly scales p) and keeps max to one read pass.
+    MXU dot, the mask bias is folded into the score plane once (so the
+    row max and the fused exp pass both see masked scores), probabilities
+    downcast to bf16 — half the write bytes — and the softmax division is
+    deferred to the (Tq, D)-sized output. The max MUST be over MASKED
+    scores: softmax is shift-invariant in exact arithmetic but not in
+    float, and masked columns cover garbage KV slots (recycled pool
+    buffers hold a previous generation's rows past `pos`), so an unmasked
+    max would make outputs depend on stale buffer contents — enough to
+    flip a near-tie argmax between runs (caught by
+    tools/spec_parity_tpu.py).
 
     `row_bias` (static): when every real query row attends the full
     [0, prefix) span (the ViT's bidirectional case — the wrapper detects
@@ -86,10 +91,10 @@ def _flash_kernel(
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) + bias
 
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s + bias - m).astype(v.dtype)
+        p = jnp.exp(s - m).astype(v.dtype)
         denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         l_inv = jnp.where(denom == 0.0, 1.0, 1.0 / denom)
 

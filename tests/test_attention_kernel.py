@@ -406,3 +406,25 @@ def test_token_padded_plane_real_rows():
         q[:, :, :t_real], k[:, :, :t_real], v[:, :, :t_real], 0, t_real
     )
     np.testing.assert_allclose(padded, unpadded, atol=2e-5, rtol=1e-4)
+
+
+def test_prefill_bitwise_independent_of_stale_kv():
+    """Recycled KV-pool buffers hold a PREVIOUS generation's rows past the
+    prefill frontier; those columns are causally masked, but the softmax
+    row max must be taken over MASKED scores or the max (and hence every
+    exp/sum rounding) depends on that garbage — enough to flip a near-tie
+    argmax between otherwise identical runs (the tools/spec_parity_tpu.py
+    plain='H' vs spec='' mismatch). Pin bitwise equality, not closeness."""
+    rng = np.random.default_rng(8)
+    b, h, tq, tk, d = 1, 2, 16, 896, 64
+    pos = 742  # prompt prefill after an image; rows pos+tq.. are stale
+    q = (rng.standard_normal((b, h, tq, d)) * 0.3).astype(np.float32)
+    k = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((b, h, tk, d)) * 0.3).astype(np.float32)
+    k2, v2 = k.copy(), v.copy()
+    # different stale tails, including values far above every real score
+    k2[:, :, pos + tq:] = 9.0
+    v2[:, :, pos + tq:] = -7.0
+    a = _pallas(q, k, v, pos, 730)
+    bb = _pallas(q, k2, v2, pos, 730)
+    assert np.array_equal(a[:, :, :tq], bb[:, :, :tq])
