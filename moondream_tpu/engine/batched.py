@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..config import TextConfig
 from ..models import text as text_ops
 from ..models.text import KVCache
+from .drafting import ngram_draft_rows
 from .generate import NEG_INF
 from .sampling import apply_top_p_mask
 
@@ -292,6 +293,8 @@ class BatchedSpecGenerateResult(NamedTuple):
     counts: jax.Array  # (B,) int32
     kv: KVCache
     pos: jax.Array  # (B,) int32 — rows desync as acceptance varies
+    iters: jax.Array  # scalar int32 — verify passes used (acceptance =
+    #     counts.sum() / (iters * active rows); a serving-metrics hook)
 
 
 def generate_text_spec_batched(
@@ -332,7 +335,6 @@ def generate_text_spec_batched(
     tokens0 = jnp.zeros((bsz, buffer), jnp.int32)
     counts0 = jnp.zeros((bsz,), jnp.int32)
     rows = jnp.arange(bsz, dtype=jnp.int32)
-    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
     max_pos = kv_bound or config.max_context
 
     if hist_init is None:
@@ -358,7 +360,7 @@ def generate_text_spec_batched(
         return jnp.any(act)
 
     def body(c):
-        kv_, cur, posv, act, bud, h_, cnt, toks, counts = c
+        kv_, cur, posv, act, bud, h_, cnt, toks, counts, it = c
 
         # emit cur + append to history (same scheme as serve_chunk_spec)
         toks = toks.at[rows, jnp.where(act, counts, buffer)].set(
@@ -369,20 +371,8 @@ def generate_text_spec_batched(
         )
         cnt1 = cnt + act.astype(jnp.int32)
 
-        # per-row bigram draft from the history
-        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
-        succ = jnp.roll(h_, -1, axis=1)
-        match = (
-            (t_idx <= (cnt1 - 3)[:, None])
-            & (h_ == prev[:, None])
-            & (succ == cur[:, None])
-        )
-        any_match = jnp.any(match, axis=1)
-        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
-        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
-        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
-        draft = jnp.take_along_axis(h_, gather, axis=1)
-        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+        # per-row longest-suffix n-gram draft from the history
+        draft, _ = ngram_draft_rows(h_, cnt1, cur, spec_k)
 
         q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
         logits, _, kv_ = ragged_verify_step(
@@ -420,12 +410,13 @@ def generate_text_spec_batched(
         act = (
             act & (cur != eos_id) & (bud > 0) & (posv + spec_k <= max_pos)
         )
-        return (kv_, cur, posv, act, bud, h_, cnt2, toks, counts)
+        return (kv_, cur, posv, act, bud, h_, cnt2, toks, counts, it + 1)
 
-    kv, _, posv, _, _, _, _, tokens, counts = jax.lax.while_loop(
+    kv, _, posv, _, _, _, _, tokens, counts, iters = jax.lax.while_loop(
         cond, body,
-        (kv, first_tokens, posv0, act0, bud0, hist0, cnt0, tokens0, counts0),
+        (kv, first_tokens, posv0, act0, bud0, hist0, cnt0, tokens0, counts0,
+         jnp.int32(0)),
     )
     return BatchedSpecGenerateResult(
-        tokens=tokens, counts=counts, kv=kv, pos=posv
+        tokens=tokens, counts=counts, kv=kv, pos=posv, iters=iters
     )

@@ -30,6 +30,7 @@ from ..config import TextConfig
 from ..models import region as region_ops
 from ..models import text as text_ops
 from ..models.text import KVCache
+from .drafting import ngram_draft
 from .sampling import sample_token
 
 # plain Python float: a module-level jnp scalar would initialize the
@@ -240,7 +241,6 @@ def generate_text_spec(
     )
     if kv_bound is not None:
         limit = jnp.minimum(limit, jnp.int32(kv_bound - spec_k + 1) - pos)
-    j_idx = jnp.arange(hlen, dtype=jnp.int32)
 
     def cond(c):
         kv_, pos_, tok, i, toks, hist = c
@@ -251,16 +251,8 @@ def generate_text_spec(
         toks = toks.at[i].set(tok)
         hist = hist.at[s0 + i].set(tok)
 
-        # ---- draft: most recent bigram match in [prompt seed; emitted]
-        prev = hist[jnp.maximum(s0 + i - 1, 0)]
-        succ = jnp.roll(hist, -1)  # succ[j] = hist[j+1]
-        match = (j_idx <= s0 + i - 2) & (hist == prev) & (succ == tok)
-        any_match = jnp.any(match)
-        j_best = jnp.max(jnp.where(match, j_idx, -1))
-        start = jnp.clip(j_best + 2, 0, hlen - (spec_k - 1))
-        draft = jax.lax.dynamic_slice(hist, (start,), (spec_k - 1,))
-        draft = jnp.where(any_match, draft, jnp.full_like(draft, tok))
-        draft = jnp.maximum(draft, 0)  # pad -1 never reaches the embedding
+        # ---- draft: longest-suffix n-gram match in [prompt seed; emitted]
+        draft, _ = ngram_draft(hist, s0 + i + 1, tok, spec_k)
 
         # ---- verify: one spec_k-token forward (prefill-style span)
         q_toks = jnp.concatenate([tok[None], draft])
@@ -350,7 +342,6 @@ def generate_text_spec_sampled(
     )
     if kv_bound is not None:
         limit = jnp.minimum(limit, jnp.int32(kv_bound - spec_k + 1) - pos)
-    j_idx = jnp.arange(hlen, dtype=jnp.int32)
 
     def cond(c):
         kv_, pos_, tok, i, rng_, toks, hist = c
@@ -362,15 +353,7 @@ def generate_text_spec_sampled(
         hist = hist.at[s0 + i].set(tok)
 
         # ---- draft (same n-gram lookup as the greedy spec loop)
-        prev = hist[jnp.maximum(s0 + i - 1, 0)]
-        succ = jnp.roll(hist, -1)
-        match = (j_idx <= s0 + i - 2) & (hist == prev) & (succ == tok)
-        any_match = jnp.any(match)
-        j_best = jnp.max(jnp.where(match, j_idx, -1))
-        start = jnp.clip(j_best + 2, 0, hlen - (spec_k - 1))
-        draft = jax.lax.dynamic_slice(hist, (start,), (spec_k - 1,))
-        draft = jnp.where(any_match, draft, jnp.full_like(draft, tok))
-        draft = jnp.maximum(draft, 0)
+        draft, _ = ngram_draft(hist, s0 + i + 1, tok, spec_k)
 
         # ---- one spec_k-token verify forward
         q_toks = jnp.concatenate([tok[None], draft])

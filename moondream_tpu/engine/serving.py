@@ -27,6 +27,7 @@ from ..ops.attention import _use_pallas, attention, decode_attention_cached
 from ..ops.layers import layer_norm, linear, mlp
 from ..ops.rope import apply_rotary_emb
 from .batched import lm_logits_batched, sample_tokens_batched
+from .drafting import ngram_draft_rows
 
 # plain Python float: a module-level jnp scalar would initialize the
 # default JAX backend at IMPORT time (observed hanging every CLI
@@ -525,7 +526,6 @@ def serve_chunk_spec(
     emit0 = jnp.zeros((S, W), jnp.bool_)
     col0 = jnp.zeros((S,), jnp.int32)
     rows = jnp.arange(S, dtype=jnp.int32)
-    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]  # (1, H)
     max_pos = (kv_bound or config.max_context) + prefix_len
 
     def body(_, c):
@@ -539,20 +539,8 @@ def serve_chunk_spec(
         )
         cnt1 = cnt + act.astype(jnp.int32)
 
-        # ---- per-row n-gram draft: latest bigram (prev, cur) in history
-        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
-        succ = jnp.roll(h_, -1, axis=1)
-        match = (
-            (t_idx <= (cnt1 - 3)[:, None])
-            & (h_ == prev[:, None])
-            & (succ == cur[:, None])
-        )
-        any_match = jnp.any(match, axis=1)
-        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
-        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
-        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
-        draft = jnp.take_along_axis(h_, gather, axis=1)  # (S, k-1)
-        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+        # ---- per-row longest-suffix n-gram draft from history
+        draft, _ = ngram_draft_rows(h_, cnt1, cur, spec_k)  # (S, k-1)
 
         # ---- one ragged span verify forward for the whole pool
         q_toks = jnp.concatenate([cur[:, None], draft], axis=1)  # (S, k)
@@ -667,7 +655,6 @@ def serve_chunk_spec_sampled(
     emit0 = jnp.zeros((S, W), jnp.bool_)
     col0 = jnp.zeros((S,), jnp.int32)
     rows = jnp.arange(S, dtype=jnp.int32)
-    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
     max_pos = (kv_bound or config.max_context) + prefix_len
 
     def body(_, c):
@@ -680,20 +667,8 @@ def serve_chunk_spec_sampled(
         )
         cnt1 = cnt + act.astype(jnp.int32)
 
-        # ---- per-row n-gram draft (same as the greedy spec chunk)
-        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
-        succ = jnp.roll(h_, -1, axis=1)
-        match = (
-            (t_idx <= (cnt1 - 3)[:, None])
-            & (h_ == prev[:, None])
-            & (succ == cur[:, None])
-        )
-        any_match = jnp.any(match, axis=1)
-        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
-        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
-        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
-        draft = jnp.take_along_axis(h_, gather, axis=1)
-        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+        # ---- per-row longest-suffix n-gram draft (same as greedy chunk)
+        draft, _ = ngram_draft_rows(h_, cnt1, cur, spec_k)
 
         q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
         logits, _, kv_ = ragged_verify_step(
@@ -1082,7 +1057,6 @@ def serve_chunk_mixed_spec(
     emit0 = jnp.zeros((S, W), jnp.bool_)
     col0 = jnp.zeros((S,), jnp.int32)
     rows = jnp.arange(S, dtype=jnp.int32)
-    t_idx = jnp.arange(H, dtype=jnp.int32)[None, :]
     max_pos = (kv_bound or config.max_context) + prefix_len
 
     def body(_, c):
@@ -1157,19 +1131,7 @@ def serve_chunk_mixed_spec(
         ].set(cur, mode="drop")
         cnt1 = cnt + text_act.astype(jnp.int32)
 
-        prev = h_[rows, jnp.maximum(cnt1 - 2, 0)]
-        succ = jnp.roll(h_, -1, axis=1)
-        match = (
-            (t_idx <= (cnt1 - 3)[:, None])
-            & (h_ == prev[:, None])
-            & (succ == cur[:, None])
-        )
-        any_match = jnp.any(match, axis=1)
-        j_best = jnp.max(jnp.where(match, t_idx, -1), axis=1)
-        start = jnp.clip(j_best + 2, 0, H - (spec_k - 1))
-        gather = start[:, None] + jnp.arange(spec_k - 1, dtype=jnp.int32)
-        draft = jnp.take_along_axis(h_, gather, axis=1)
-        draft = jnp.where(any_match[:, None], draft, cur[:, None])
+        draft, _ = ngram_draft_rows(h_, cnt1, cur, spec_k)
 
         # ---- ONE ragged span verify for the whole pool; struct rows feed
         # their coordinate/size embedding at span position 0
