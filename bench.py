@@ -44,17 +44,24 @@ def log(*a):
 
 HEALTHY_TFS = 80.0
 
-# config name -> which quantization the child applies
+# Configs ordered by SCORING VALUE (round-3 verdict #1): the headline
+# candidates and p50 run first so a driver kill at any point still leaves
+# the important numbers in the last-printed aggregate line. B=12 int4+kv8
+# cells (verdict #2) compare like-for-like against bf16 B=12; the B=16
+# cells are kept last as the legacy comparison.
 CONFIG_ORDER = [
+    "spec_pipelined_bf16",
+    "int4kv8_spec_pipelined_b12",
     "single",
     "pipelined_bf16",
-    "spec_pipelined_bf16",
+    "int4kv8_pipelined_b12",
+    "serving_full",
+    "serving_decode",
     "int4kv8_pipelined",
     "int4kv8_spec_pipelined",
-    "serving_decode",
     "vit8",
 ]
-BF16_ONLY = ["single", "pipelined_bf16", "spec_pipelined_bf16"]
+BF16_ONLY = ["spec_pipelined_bf16", "single", "pipelined_bf16"]
 
 
 def parse_args():
@@ -97,43 +104,28 @@ def parse_args():
                              "process and print its JSON fragment")
     parser.add_argument("--configs", nargs="*", default=None,
                         help="subset of configs to run (default: all)")
+    parser.add_argument("--deadline", type=float, default=3000.0,
+                        help="global wall-clock budget (s); remaining "
+                             "configs are SKIPPED once it is spent, so the "
+                             "aggregate line is always printed well inside "
+                             "the driver's timeout (round-3 BENCH was lost "
+                             "to an unbounded sweep)")
+    parser.add_argument("--child-deadline", type=float, default=0.0,
+                        help="internal: absolute time.time() at which a "
+                             "child must stop measuring and print what "
+                             "it has")
     return parser.parse_args()
 
 
 # --------------------------------------------------------------- orchestrator
 
 
-def orchestrate(args):
-    names = args.configs or (BF16_ONLY if args.skip_int4 else CONFIG_ORDER)
-    passthrough = [
-        "--config", args.config,
-        "--decode-tokens", str(args.decode_tokens),
-        "--runs", str(args.runs),
-        "--warmup", str(args.warmup),
-        "--batch", str(args.batch),
-        "--int4-batch", str(args.int4_batch),
-    ]
-    fields = {}
-    for name in names:
-        log(f"===== config: {name} =====")
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--run-config", name] + passthrough
-        try:
-            res = subprocess.run(
-                cmd, stdout=subprocess.PIPE, stderr=None, timeout=3600
-            )
-            lines = [
-                ln for ln in res.stdout.decode().strip().splitlines() if ln
-            ]
-            if res.returncode != 0 or not lines:
-                log(f"config {name} FAILED (exit {res.returncode}); "
-                    "fields stay null")
-                continue
-            fields.update(json.loads(lines[-1]))
-        except Exception as e:
-            log(f"config {name} FAILED ({type(e).__name__}: {e}); "
-                "fields stay null")
-
+def aggregate(args, fields, configs_done, configs_skipped):
+    """Build the single canonical JSON line from the per-config fields
+    gathered SO FAR. Called (and printed) after EVERY config so a driver
+    kill at any moment leaves the last stdout line parseable (round-3
+    verdict #1: BENCH_r03 was rc=124/parsed=null because the old
+    orchestrator printed only after all 7 configs)."""
     B = args.batch
     int4_batch = args.int4_batch
     # headline = best measured serving configuration (int4 checkpoints are
@@ -145,68 +137,136 @@ def orchestrate(args):
         (fields.get("bf16_images_per_sec"), f"bf16 pipelined B={B}"),
         (fields.get("spec_pipelined_bf16_images_per_sec"),
          f"bf16 spec pipelined B={B}"),
+        (fields.get("int4_kv8_b12_images_per_sec"),
+         f"int4+kv8 pipelined B={B}"),
+        (fields.get("spec_pipelined_int4_kv8_b12_images_per_sec"),
+         f"int4+kv8 spec pipelined B={B}"),
         (fields.get("int4_kv8_b16_images_per_sec"),
          f"int4+kv8 pipelined B={int4_batch}"),
         (fields.get("spec_pipelined_int4_kv8_images_per_sec"),
          f"int4+kv8 spec pipelined B={int4_batch}"),
     ]
     live = [v for v in candidates if v[0]]
-    if not live:
-        log("FATAL: no throughput config produced a number")
-        sys.exit(1)
-    best, best_config = max(live, key=lambda t: t[0])
+    best, best_config = (max(live, key=lambda t: t[0]) if live
+                         else (None, None))
 
-    hbm_keys = [k for k in fields if k.startswith("live_hbm_gb")]
+    work = dict(fields)
+    hbm_keys = [k for k in work if k.startswith("live_hbm_gb")]
     peak_live = max(
-        (fields[k] for k in hbm_keys if fields[k] is not None), default=None
+        (work[k] for k in hbm_keys if work[k] is not None), default=None
     )
     for k in hbm_keys:
-        fields.pop(k)
-    tfs_keys = [k for k in fields if k.startswith("chip_tfs_")]
-    chip_tfs = max((fields[k] for k in tfs_keys), default=0.0)
+        work.pop(k)
+    tfs_keys = [k for k in work if k.startswith("chip_tfs_")]
+    chip_tfs = max((work[k] for k in tfs_keys), default=0.0)
     for k in tfs_keys:
-        fields.pop(k)
+        work.pop(k)
     defaults = {k: None for k in (
         "bf16_images_per_sec", "spec_pipelined_bf16_images_per_sec",
+        "int4_kv8_b12_images_per_sec",
+        "spec_pipelined_int4_kv8_b12_images_per_sec",
         "int4_kv8_b16_images_per_sec",
         "spec_pipelined_int4_kv8_images_per_sec",
         "int4_kv8_vit8_b16_images_per_sec",
         "serving_decode_tok_s_int4", "serving_decode_tok_s_int4_kv8",
+        "serving_full_tok_s", "serving_full_req_p50_ms",
+        "serving_full_req_p99_ms", "serving_full_accept_tok_per_iter",
         "encode_ms_median", "decode_tokens_per_sec",
         "p50_caption_latency_ms", "p50_caption_plain_ms",
         "p50_caption_spec_devpre_ms", "single_image_images_per_sec",
     )}
-    fields = {**defaults, **fields}
+    work = {**defaults, **work}
 
-    out = {
+    return {
         "metric": f"images_per_sec_per_chip_{args.config}_caption",
-        "value": round(best, 4),
+        "value": round(best, 4) if best else None,
         "unit": "images/sec",
         "vs_baseline": None,
         "value_config": best_config,
         "batch": B,
         "int4_batch": int4_batch,
         "pipelined": True,
-        **fields,
+        **work,
         "decode_tokens": args.decode_tokens,
         "chip_matmul_tfs": round(chip_tfs, 1),
         # device.memory_stats() returns None on this backend; live array
         # bytes (sampled after each config's main stream) is the honest
         # substitute for the reference's peak-memory print (sample.py:207)
         "peak_live_hbm_gb": peak_live,
+        "configs_done": configs_done,
+        "configs_skipped": configs_skipped,
         "health_policy": (
             "per-config subprocess isolation; probe-bracketed reps; "
             f"median of healthy (>= {HEALTHY_TFS:.0f} TF/s pre+post)"
         ),
         "spec_note": (
-            "spec configs are exact greedy but random weights repeat, so "
-            "acceptance (and their throughput/p50) is an upper bound vs "
-            "real checkpoints"
+            "spec configs are exact greedy; see BASELINE.md realistic-"
+            "acceptance table for trained-weight acceptance vs the random-"
+            "weight upper bound"
         ),
         "notes": "random weights; reference publishes no baseline numbers "
                  "(BASELINE.md)",
     }
-    print(json.dumps(out))
+
+
+def orchestrate(args):
+    t_start = time.time()
+    names = args.configs or (BF16_ONLY if args.skip_int4 else CONFIG_ORDER)
+    passthrough = [
+        "--config", args.config,
+        "--decode-tokens", str(args.decode_tokens),
+        "--runs", str(args.runs),
+        "--warmup", str(args.warmup),
+        "--batch", str(args.batch),
+        "--int4-batch", str(args.int4_batch),
+    ]
+    fields = {}
+    done, skipped = [], []
+    for idx, name in enumerate(names):
+        remaining = args.deadline - (time.time() - t_start)
+        if remaining < 240:
+            skipped = names[idx:]
+            log(f"deadline: {remaining:.0f}s left; skipping {skipped}")
+            break
+        log(f"===== config: {name} ({remaining:.0f}s of budget left) =====")
+        child_stop = time.time() + remaining - 60  # child's own margin
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--run-config", name,
+               "--child-deadline", str(child_stop)] + passthrough
+        out_text = ""
+        try:
+            res = subprocess.run(
+                cmd, stdout=subprocess.PIPE, stderr=None,
+                timeout=remaining,
+            )
+            out_text = res.stdout.decode()
+            if res.returncode != 0:
+                log(f"config {name} exited {res.returncode}; keeping any "
+                    "fragments it printed")
+        except subprocess.TimeoutExpired as e:
+            # children print a cumulative fields line after EVERY
+            # sub-measurement, so a killed child still contributes
+            out_text = (e.stdout or b"").decode()
+            log(f"config {name} hit the budget; keeping partial fragments")
+        except Exception as e:
+            log(f"config {name} FAILED ({type(e).__name__}: {e}); "
+                "fields stay null")
+        for ln in out_text.strip().splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                try:
+                    fields.update(json.loads(ln))
+                except json.JSONDecodeError:
+                    pass
+        done.append(name)
+        # cumulative aggregate after EVERY config: the LAST stdout line is
+        # always a complete, valid record of everything measured so far
+        print(json.dumps(aggregate(args, fields, list(done), [])), flush=True)
+
+    final = aggregate(args, fields, done, list(skipped))
+    if final["value"] is None:
+        log("WARNING: no throughput config produced a number")
+    print(json.dumps(final), flush=True)
 
 
 # -------------------------------------------------------------------- children
@@ -221,10 +281,17 @@ def child_main(args):
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # threshold 0: even the small random-init compiles persist, so
+        # every child after the first skips most of its init compiles
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as e:
         log(f"compilation cache unavailable: {e}")
     log(f"devices: {jax.devices()}")
+
+    def time_left():
+        if not args.child_deadline:
+            return float("inf")
+        return args.child_deadline - time.time()
 
     def probe_tfs(iters=10):
         # enough chained matmuls (~11 TFLOP) to amortize the ~25 ms tunnel
@@ -239,26 +306,40 @@ def child_main(args):
         jax.device_get(c.ravel()[0])
         return iters * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
 
+    # Every round-3 child's FIRST probe read ~0.0-0.3 TF/s and burned a
+    # 60 s "degraded" wait — a freshly-connected backend warms up over the
+    # first couple of dispatches, which is indistinguishable from a
+    # degraded chip to a single reading. Warm explicitly, and on a low
+    # reading retry after 5 s before concluding the chip is degraded.
+    probe_tfs(iters=2)
     chip_tfs = 0.0
-    for attempt in range(9):
+    for attempt in range(5):
         chip_tfs = probe_tfs()
         log(f"chip probe: {chip_tfs:.1f} TF/s bf16 matmul")
         if chip_tfs > HEALTHY_TFS:
             break
-        if attempt < 8:
-            log("chip degraded; waiting 60s before retry...")
-            time.sleep(60)
+        if time_left() < 120:
+            log("chip degraded but child budget nearly spent; proceeding")
+            break
+        wait = 5 if attempt == 0 else 60
+        log(f"chip degraded; waiting {wait}s before retry...")
+        time.sleep(wait)
 
     def run_healthy(run_once, tag, want=2, max_tries=4, wait_s=45,
                     higher_is_better=True):
         """Run `run_once` until `want` reps executed inside healthy probe
         windows (pre AND post >= HEALTHY_TFS). Returns the median of
         healthy reps; falls back to the best rep when no healthy window
-        appears within max_tries — flagged in the log."""
+        appears within max_tries — flagged in the log. Respects the
+        child deadline: returns what it has rather than overrunning."""
         healthy, everything = [], []
         for i in range(max_tries):
             pre = probe_tfs()
             if pre < HEALTHY_TFS:
+                # first low reading may be warmup noise — cheap 5s retry
+                time.sleep(5)
+                pre = probe_tfs()
+            if pre < HEALTHY_TFS and time_left() > wait_s + 60:
                 log(f"[{tag}] degraded chip ({pre:.0f} TF/s); "
                     f"waiting {wait_s}s...")
                 time.sleep(wait_s)
@@ -271,7 +352,7 @@ def child_main(args):
                 f"TF/s, {'healthy' if ok else 'DEGRADED'})")
             if ok:
                 healthy.append(val)
-            if len(healthy) >= want:
+            if len(healthy) >= want or time_left() < 60:
                 break
         if healthy:
             return float(np.median(healthy))
@@ -299,10 +380,11 @@ def child_main(args):
 
     name = args.run_config
     want_kv8 = (
-        args.kv_int8 or (name or "").startswith("int4kv8") or name == "vit8"
+        args.kv_int8 or (name or "").startswith("int4kv8")
+        or name in ("serving_full", "vit8")
     )
     want_int4 = args.int4 or (name or "").startswith("int4kv8") or name in (
-        "serving_decode", "vit8"
+        "serving_decode", "serving_full", "vit8"
     )
 
     config = MOONDREAM_2B if args.config == "2b" else MOONDREAM_05B
@@ -455,6 +537,11 @@ def child_main(args):
 
     fields = {f"chip_tfs_{name}": round(chip_tfs, 1)}
 
+    def emit():
+        # cumulative fragment after every sub-measurement: the parent
+        # keeps whatever a killed/timed-out child already printed
+        print(json.dumps(fields), flush=True)
+
     # ------------------------------------------------------------- "single"
     if name == "single":
         log("warmup/compile...")
@@ -483,12 +570,16 @@ def child_main(args):
             lambda: 1000 * _median_loop(_encode_once, args.runs),
             "encode", max_tries=3, higher_is_better=False,
         )
+        fields["encode_ms_median"] = round(encode_ms, 2)
+        emit()
 
         log("timing plain full captions (encode + prefill + decode)...")
         p50_plain_ms = run_healthy(
             lambda: 1000 * _median_loop(one_caption, args.runs),
             "caption-plain", max_tries=3, higher_is_better=False,
         )
+        fields["p50_caption_plain_ms"] = round(p50_plain_ms, 2)
+        emit()
 
         log("timing decode loop alone...")
         enc = model.encode_image(image)
@@ -512,6 +603,10 @@ def child_main(args):
             lambda: float(np.median([_decode_once() for _ in range(args.runs)])),
             "decode", max_tries=3, higher_is_better=False,
         )
+        fields["decode_tokens_per_sec"] = round(
+            args.decode_tokens / decode_s, 2
+        )
+        emit()
 
         # SCORED single-image config: speculative greedy decode (exact —
         # engine/generate.py:generate_text_spec) + device-side
@@ -558,12 +653,7 @@ def child_main(args):
 
         p50 = min(p50_plain_ms, p50_spec_ms)
         fields.update({
-            "encode_ms_median": round(encode_ms, 2),
-            "decode_tokens_per_sec": round(
-                args.decode_tokens / decode_s, 2
-            ),
             "p50_caption_latency_ms": round(p50, 2),
-            "p50_caption_plain_ms": round(p50_plain_ms, 2),
             "p50_caption_spec_devpre_ms": round(p50_spec_ms, 2),
             "single_image_images_per_sec": round(1000.0 / p50, 4),
             "live_hbm_gb_single": live_hbm_gb(),
@@ -609,6 +699,20 @@ def child_main(args):
             run_pipelined(args.batch, " bf16 spec", speculative=8), 4
         )
         fields["live_hbm_gb_spec_bf16"] = live_hbm_gb()
+    elif name == "int4kv8_pipelined_b12":
+        # like-for-like vs pipelined_bf16: SAME batch (same ViT crop count)
+        # so the delta isolates what int4 weights + int8 KV do to the
+        # decode stage (round-3 verdict #2 — the old B=16-vs-B=12
+        # comparison conflated batch size with quantization)
+        fields["int4_kv8_b12_images_per_sec"] = round(
+            run_pipelined(args.batch, " int4+kv8"), 4
+        )
+        fields["live_hbm_gb_int4_b12"] = live_hbm_gb()
+    elif name == "int4kv8_spec_pipelined_b12":
+        fields["spec_pipelined_int4_kv8_b12_images_per_sec"] = round(
+            run_pipelined(args.batch, " int4+kv8 spec", speculative=8), 4
+        )
+        fields["live_hbm_gb_spec_int4_b12"] = live_hbm_gb()
     elif name == "int4kv8_pipelined":
         fields["int4_kv8_b16_images_per_sec"] = round(
             run_pipelined(args.int4_batch, " int4+kv8"), 4
@@ -668,6 +772,7 @@ def child_main(args):
         fields["serving_decode_tok_s_int4"] = round(
             serving_decode_tps(model, " int4"), 1
         )
+        emit()
         model._kv_pool.clear()
         cfg8 = dataclasses.replace(
             config, text=dataclasses.replace(config.text, kv_int8=True)
@@ -679,6 +784,96 @@ def child_main(args):
             serving_decode_tps(model8, " int4+kv8"), 1
         )
         fields["live_hbm_gb_serving"] = live_hbm_gb()
+    elif name == "serving_full":
+        # FULL-FEATURED serving (round-3 verdict #9): everything the
+        # engine ships, in one measured config — 16 slots, continuous
+        # admission from a queue, prefix-SHARED image KV (4 distinct
+        # images across 16 slots), SPECULATIVE chunks (k=8), MIXED
+        # detect rows alongside captions, int4 weights + int8 KV.
+        # Methodology mirrors tools/serving_load_test.py (aggregate
+        # tok/s + per-request latency percentiles), run in-process so
+        # the bench doesn't pay an HTTP server launch.
+        from moondream_tpu.models.serve import ContinuousBatchingEngine
+
+        eng = ContinuousBatchingEngine(
+            model, n_slots=16, slot_len=1024, chunk=8, pipeline_depth=2,
+            speculative=8, prefix_share=True, prefix_entries=4, eos_id=-1,
+        )
+        imgs = [
+            Image.fromarray(rng.integers(
+                0, 255, size=(1080, 1440, 3), dtype=np.uint8))
+            for _ in range(4)
+        ]
+        encs = [model.encode_image(im) for im in imgs]
+
+        N_TEXT, N_DETECT, MAX_TOK = 40, 8, 64
+
+        def make_queue():
+            # every 6th request is a detect row riding the same pool
+            q = []
+            n_det = 0
+            for i in range(N_TEXT + N_DETECT):
+                if i % 6 == 5 and n_det < N_DETECT:
+                    q.append(("detect", encs[i % len(encs)]))
+                    n_det += 1
+                else:
+                    q.append(("text", encs[i % len(encs)]))
+            return q
+
+        stats_reps = []
+
+        def one_run():
+            queue = make_queue()
+            t_sub, lat = {}, {}
+            t0 = time.perf_counter()
+            while queue or any(s.active for s in eng.slots) or eng._inflight:
+                while queue and eng.free_slots():
+                    kind, enc = queue.pop(0)
+                    if kind == "detect":
+                        rid = eng.submit_detect(enc, "thing", max_objects=4)
+                    else:
+                        rid = eng.submit(enc, max_tokens=MAX_TOK)
+                    t_sub[rid] = time.perf_counter()
+                for rid in eng.step():
+                    lat[rid] = time.perf_counter() - t_sub[rid]
+            dt = time.perf_counter() - t0
+            tokens = sum(eng.token_counts.get(r, 0) for r in lat)
+            ms = sorted(1000 * v for v in lat.values())
+            tps = tokens / dt
+            stats_reps.append({
+                "serving_full_tok_s": round(tps, 1),
+                "serving_full_req_p50_ms": round(ms[len(ms) // 2], 1),
+                "serving_full_req_p99_ms": round(
+                    ms[min(len(ms) - 1, int(len(ms) * 0.99))], 1
+                ),
+                "serving_full_accept_tok_per_iter": (
+                    round(eng.spec_accept_rate, 3)
+                    if eng.spec_accept_rate else None
+                ),
+            })
+            return tps
+
+        log("warmup/compile serving_full (mixed spec prefix-share pool)...")
+        warm = make_queue()[:6] + [("detect", encs[0])]
+        for kind, enc in warm:
+            if kind == "detect":
+                eng.submit_detect(enc, "thing", max_objects=4)
+            else:
+                eng.submit(enc, max_tokens=8)
+        eng.drain()
+
+        tps = run_healthy(one_run, "serving_full", want=2, max_tries=4)
+        best = min(
+            stats_reps, key=lambda s: abs(s["serving_full_tok_s"] - tps)
+        )
+        fields.update(best)
+        fields["serving_full_tok_s"] = round(tps, 1)
+        fields["live_hbm_gb_serving_full"] = live_hbm_gb()
+        fields["serving_full_config"] = (
+            "16 slots, int4+kv8, prefix-share (4 images), spec k=8, "
+            f"{N_TEXT} caption + {N_DETECT} detect reqs, "
+            f"max_tokens={MAX_TOK}, continuous admission"
+        )
 
     print(json.dumps(fields))
 

@@ -11,10 +11,14 @@ each candidate scores +1 per additional consecutive context token that
 matches (3rd and 4th), and the winner is the longest match, ties broken
 toward the most recent occurrence. The k-1 tokens after the anchor are
 the draft. Fallback when no bigram matches anywhere: repeat the current
-token (covers degenerate repetition). Measured on the pipelined bench
-shape (tools/spec_accept_ab.py): suffix scoring raises acceptance vs
-pure latest-bigram because text that revisits an n-gram for a DIFFERENT
-continuation no longer shadows the right anchor.
+token (covers degenerate repetition). On the random-weight bench
+harness (tools/spec_accept_ab.py) suffix scoring measures IDENTICAL to
+pure latest-bigram — random-weight captions have no competing n-gram
+anchors to disambiguate (BASELINE.md round-3 findings). It is kept on
+the expectation that real text which revisits an n-gram for a DIFFERENT
+continuation no longer shadows the right anchor; see the
+realistic-acceptance table in BASELINE.md for the trained-weight
+measurement.
 
 No torch-reference analog (the reference decodes one token per forward,
 moondream.py:481-528); the technique is public prompt-lookup decoding.

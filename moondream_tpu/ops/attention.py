@@ -44,12 +44,8 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-LOG2E = 1.4426950408889634
-
-
 def _flash_kernel(
     scalars_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, row_bias: bool,
-    exp2: bool = False, max_free: bool = False,
 ):
     """Fused attention over one head tile.
 
@@ -87,20 +83,14 @@ def _flash_kernel(
 
     # statically-unrolled loop over the program's head tile: one-head-per-
     # program grids (e.g. 13 crops x 16 ViT heads x 27 layers) were
-    # program-switch-overhead bound
-    # experimental A/B knobs (MOONDREAM_FLASH_EXP2 / _MAXFREE, see wrapper):
-    # `exp2` computes scores in the log2 domain (log2(e) folded into the
-    # q-side scale, one multiply over (Tq, D) instead of per-score inside
-    # exp's polynomial lowering); `max_free` (row_bias only) drops the max
-    # reduction pass entirely — unnormalized exp2 scores stay in fp32/bf16
-    # range without shifting (post-LN ViT scores are bounded; clamped at
-    # 2^110 for safety, denom <= Tk * 2^110 << fp32 max), and softmax
-    # ratios keep the same relative error since bf16 precision is
-    # magnitude-independent.
-    sc = scale * LOG2E if (exp2 or max_free) else scale
-    e = jnp.exp2 if (exp2 or max_free) else jnp.exp
+    # program-switch-overhead bound.
+    # (Round-4 A/B, tools/flash_kernel_check.py: log2-domain scores and a
+    # max-shift-free softmax both measured WITHIN NOISE of this kernel at
+    # the ViT bench shape — 147.6/148.0 vs 146.6 ms per encoder's worth of
+    # attention — confirming the round-2 finding that the kernel is
+    # VPU-latency bound, not pass-count bound. Both knobs were deleted.)
     for hh in range(q_ref.shape[0]):
-        q = (q_ref[hh].astype(jnp.float32) * sc).astype(q_ref.dtype)
+        q = (q_ref[hh].astype(jnp.float32) * scale).astype(q_ref.dtype)
         k = k_ref[hh]  # (Tk, D)
         v = v_ref[hh]
 
@@ -108,11 +98,8 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) + bias
 
-        if max_free and row_bias:
-            p = e(jnp.minimum(s, 110.0)).astype(v.dtype)
-        else:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = e(s - m).astype(v.dtype)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(v.dtype)
         denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         l_inv = jnp.where(denom == 0.0, 1.0, 1.0 / denom)
 
@@ -336,11 +323,7 @@ def flash_attention(
     )
 
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, row_bias=row_bias,
-            exp2=bool(os.environ.get("MOONDREAM_FLASH_EXP2")),
-            max_free=bool(os.environ.get("MOONDREAM_FLASH_MAXFREE")),
-        ),
+        functools.partial(_flash_kernel, scale=scale, row_bias=row_bias),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

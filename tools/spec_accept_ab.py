@@ -91,9 +91,9 @@ def main():
     counts = jax.device_get(res.counts)
     endpos = jax.device_get(res.pos)
 
-    # iterations used: recover from a timed second run + per-iter cost is
-    # not observable from outside; instead expose via end positions and a
-    # wall-clock A/B at two spec_k values.
+    # iterations come straight from res.iters below; this second
+    # prefill+run exists only as a warm-compile TIMING run (the first run
+    # above paid compilation).
     kv2 = model._take_kv_buffer(B, bound)
     _, _, kv2 = model._prefill_batched_fn(model._kv_bound(seq))(
         model.params["text"], kv2, emb,
