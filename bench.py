@@ -173,7 +173,7 @@ def aggregate(args, fields, configs_done, configs_skipped):
         "serving_full_req_p99_ms", "serving_full_accept_tok_per_iter",
         "encode_ms_median", "decode_tokens_per_sec",
         "p50_caption_latency_ms", "p50_caption_plain_ms",
-        "p50_caption_spec_devpre_ms", "single_image_images_per_sec",
+        "p50_caption_spec_ms", "single_image_images_per_sec",
     )}
     work = {**defaults, **work}
 
@@ -565,7 +565,7 @@ def child_main(args):
             enc = model.encode_image(image)
             jax.device_get(enc.k[0, 0, 0, 0, 0])
 
-        log("timing encode (host-crop parity path)...")
+        log("timing encode (device preprocessing — PIL-bit-exact, default)...")
         encode_ms = run_healthy(
             lambda: 1000 * _median_loop(_encode_once, args.runs),
             "encode", max_tries=3, higher_is_better=False,
@@ -609,9 +609,10 @@ def child_main(args):
         emit()
 
         # SCORED single-image config: speculative greedy decode (exact —
-        # engine/generate.py:generate_text_spec) + device-side
-        # preprocessing (ops/device_preprocess.py). The plain path above is
-        # the host-crop parity anchor.
+        # engine/generate.py:generate_text_spec). Preprocessing runs on
+        # device by default and is uint8-bit-exact with the host PIL/C++
+        # path (tests/test_device_preprocess.py), so BOTH p50 paths are
+        # parity-legal (round-3 verdict #4 resolved).
         spec_fixed = jax.jit(
             partial(
                 engine.generate_text_spec,
@@ -639,22 +640,18 @@ def child_main(args):
             )
             jax.device_get(res.tokens[-1])
 
-        os.environ["MOONDREAM_DEVICE_PREPROCESS"] = "1"
-        try:
-            log("warmup spec + device-preprocess caption...")
-            one_caption_spec()
-            log("timing spec + device-preprocess captions (scored p50)...")
-            p50_spec_ms = run_healthy(
-                lambda: 1000 * _median_loop(one_caption_spec, args.runs),
-                "caption-spec", max_tries=3, higher_is_better=False,
-            )
-        finally:
-            del os.environ["MOONDREAM_DEVICE_PREPROCESS"]
+        log("warmup spec caption...")
+        one_caption_spec()
+        log("timing spec captions (scored p50)...")
+        p50_spec_ms = run_healthy(
+            lambda: 1000 * _median_loop(one_caption_spec, args.runs),
+            "caption-spec", max_tries=3, higher_is_better=False,
+        )
 
         p50 = min(p50_plain_ms, p50_spec_ms)
         fields.update({
             "p50_caption_latency_ms": round(p50, 2),
-            "p50_caption_spec_devpre_ms": round(p50_spec_ms, 2),
+            "p50_caption_spec_ms": round(p50_spec_ms, 2),
             "single_image_images_per_sec": round(1000.0 / p50, 4),
             "live_hbm_gb_single": live_hbm_gb(),
         })

@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.image_crops import overlap_crop_image
 from ..utils.streaming import stream_text
 
 
@@ -151,33 +150,33 @@ class BatchPipeline:
 
     # -------------------------------------------------------------- producer
     def _produce(self, images, work, stop):
-        cfg = self.model.config.vision
         B = self.batch_size
+        model = self.model
         try:
             for start in range(0, len(images), B):
                 chunk = images[start : start + B]
                 n_real = len(chunk)
                 while len(chunk) < B:  # pad tail to the compiled batch size
                     chunk = chunk + [chunk[-1]]
-                prepped = []
-                for im in chunk:
-                    np_image = np.asarray(im.convert("RGB"))
-                    co = overlap_crop_image(
-                        np_image, overlap_margin=cfg.overlap_margin,
-                        max_crops=cfg.max_crops,
-                    )
-                    prepped.append((co["crops"], tuple(co["tiling"])))
+                # device preprocessing by default: the producer ships the
+                # raw images and the (bit-exact) fixed-point Lanczos crops
+                # run on the MXU — ~0 host resample cost on this 1-core
+                # host, and the dispatch below starts the async H2D + crop
+                # graph NOW, while the consumer's previous batch decodes.
+                # Host PIL/C++ crop stacks are the fallback
+                # (MOONDREAM_DEVICE_PREPROCESS=0 / oversize images).
+                prepped = model._prep_crop_groups(chunk)
                 groups_idx = defaultdict(list)
                 for i, (crops, tiling) in enumerate(prepped):
-                    groups_idx[(crops.shape[0], tiling)].append(i)
+                    n = (crops.shape[0] if crops.ndim == 4
+                         else tiling[0] * tiling[1] + 1)
+                    groups_idx[(n, tiling)].append(i)
                 groups = []
                 for (n, tiling), idxs in groups_idx.items():
-                    batch_crops = np.concatenate(
-                        [prepped[i][0] for i in idxs], axis=0
+                    crops_dev = model._crops_device(
+                        [prepped[i][0] for i in idxs], tiling
                     )
-                    # jnp.asarray starts the async H2D transfer NOW, while
-                    # the consumer's device graph for the previous batch runs
-                    groups.append((tiling, n, idxs, jnp.asarray(batch_crops)))
+                    groups.append((tiling, n, idxs, crops_dev))
                 if stop.is_set():
                     return
                 work.put(_Batch(groups, n_real))

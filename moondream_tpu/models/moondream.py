@@ -538,20 +538,101 @@ class MoondreamModel:
 
         return self._jit(("dev_pre", shape, tiling), build)
 
+    def _device_preprocess_batched_fn(self, count, shape, tiling):
+        """Jitted (count, H, W, 3) uint8 -> image-major crop stack on
+        device (vmapped fixed-point Lanczos, ops.device_preprocess)."""
+        from ..ops.device_preprocess import device_overlap_crops_batched
+
+        cfg = self.config.vision
+
+        def build():
+            return jax.jit(
+                lambda imgs: device_overlap_crops_batched(
+                    imgs, tiling, cfg.crop_size, cfg.enc_patch_size,
+                    cfg.overlap_margin,
+                )
+            )
+
+        return self._jit(("dev_pre_b", count, shape, tiling), build)
+
+    def _prep_crop_groups(self, images):
+        """Per image: (crops | raw image, tiling). With device
+        preprocessing on (the default), the raw uint8 array is returned
+        (ndim 3) and cropping happens on device in _crops_device —
+        bit-identical to host crops, ~0 host resample cost, and a smaller
+        H2D transfer. Host fallback returns the (n, base, base, 3) crop
+        stack (ndim 4)."""
+        from ..ops import device_preprocess as devpre
+
+        cfg = self.config.vision
+        use_dev = devpre.enabled()
+        out = []
+        for im in images:
+            np_image = np.asarray(im.convert("RGB"))
+            if use_dev and devpre.exact_path_supported(
+                *np_image.shape[:2], cfg.crop_size
+            ):
+                tiling = devpre.preprocess_tiling(
+                    np_image.shape[0], np_image.shape[1], cfg.crop_size,
+                    cfg.enc_patch_size, cfg.overlap_margin, cfg.max_crops,
+                )
+                out.append((np_image, tiling))
+            else:
+                co = overlap_crop_image(
+                    np_image, overlap_margin=cfg.overlap_margin,
+                    max_crops=cfg.max_crops,
+                )
+                out.append((co["crops"], tuple(co["tiling"])))
+        return out
+
+    def _crops_device(self, items, tiling) -> jax.Array:
+        """Concatenate a tiling group's per-image crops (host stacks
+        and/or raw images for device cropping) into one image-major
+        device array. Consecutive same-shape raw images share one batched
+        device-crop call."""
+        segs = []
+        run = []  # consecutive raw images of identical shape
+
+        def flush():
+            if run:
+                batch = np.stack(run)
+                segs.append(
+                    self._device_preprocess_batched_fn(
+                        batch.shape[0], run[0].shape, tiling
+                    )(jnp.asarray(batch))
+                )
+                run.clear()
+
+        for it in items:
+            if it.ndim == 3:  # raw image -> device crops
+                if run and run[0].shape != it.shape:
+                    flush()
+                run.append(it)
+            else:  # host crop stack
+                flush()
+                segs.append(jnp.asarray(it))
+        flush()
+        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
+
     def _run_vision_encoder(self, image) -> jax.Array:
         """PIL image -> (729, text_dim) projected image embedding
         (reference moondream.py:206-228).
 
-        MOONDREAM_DEVICE_PREPROCESS=1 moves the Lanczos resize + tile
-        extraction onto the TPU (two MXU matmuls per resize) — an opt-in
-        throughput path for fixed-resolution streams; the host path (bit
-        -exact C++/PIL) remains the parity default."""
-        import os as _os
-
+        The Lanczos resize + tile extraction runs ON DEVICE by default
+        (ops.device_preprocess): it reproduces Pillow's fixed-point
+        resampler exactly on the MXU, so it is uint8-bit-exact with the
+        host PIL/C++ path (tests/test_device_preprocess.py) — parity at
+        host-resize cost ~0. Set MOONDREAM_DEVICE_PREPROCESS=0 to force
+        the host path (e.g. images too large for the exact-f32 tap
+        guarantee, or debugging)."""
         cfg = self.config.vision
         np_image = np.asarray(image.convert("RGB"))
 
-        if _os.environ.get("MOONDREAM_DEVICE_PREPROCESS"):
+        from ..ops import device_preprocess as devpre
+
+        if devpre.enabled() and devpre.exact_path_supported(
+            *np_image.shape[:2], cfg.crop_size
+        ):
             from ..ops.device_preprocess import preprocess_tiling
 
             tiling = preprocess_tiling(
@@ -1241,28 +1322,24 @@ class MoondreamModel:
         hf_moondream.py:99-103)."""
         from collections import defaultdict
 
-
         cfg = self.config.vision
         lora = self._variant(settings)
 
-        prepped = []
-        for im in images:
-            np_image = np.asarray(im.convert("RGB"))
-            co = overlap_crop_image(
-                np_image, overlap_margin=cfg.overlap_margin,
-                max_crops=cfg.max_crops,
-            )
-            prepped.append((co["crops"], tuple(co["tiling"])))
+        prepped = self._prep_crop_groups(images)
 
         groups = defaultdict(list)
         for i, (crops, tiling) in enumerate(prepped):
-            groups[(crops.shape[0], tiling)].append(i)
+            n = (crops.shape[0] if crops.ndim == 4
+                 else tiling[0] * tiling[1] + 1)
+            groups[(n, tiling)].append(i)
 
         img_embs: List[Optional[jax.Array]] = [None] * len(images)
         for (n, tiling), idxs in groups.items():
-            batch_crops = np.concatenate([prepped[i][0] for i in idxs], axis=0)
+            batch_crops = self._crops_device(
+                [prepped[i][0] for i in idxs], tiling
+            )
             feats = self._vis_enc_fn()(
-                self.params["vision"], jnp.asarray(batch_crops)
+                self.params["vision"], batch_crops
             )
             feats = feats.reshape(len(idxs), n, *feats.shape[1:])
             embs = self._stitch_proj_batched_fn(tiling)(

@@ -1,45 +1,77 @@
-"""Device-side (two-matmul Lanczos) preprocessing vs the host PIL path."""
+"""Device-side (fixed-point matmul Lanczos) preprocessing vs the host
+PIL path — the device path must be uint8-BIT-EXACT with
+PIL.Image.resize(LANCZOS) (it reproduces Pillow's int32 fixed-point
+resampler on the MXU), so it can be the default, parity-legal path."""
 
 import numpy as np
 import pytest
 from PIL import Image
 
+import jax
 import jax.numpy as jnp
 
 from moondream_tpu.ops.device_preprocess import (
+    _pil_coeffs,
     device_overlap_crops,
-    lanczos_matrix,
+    device_resize,
     preprocess_tiling,
 )
-from moondream_tpu.ops.image_crops import overlap_crop_image, select_tiling
+from moondream_tpu.ops.image_crops import overlap_crop_image
 
 
-def test_lanczos_matrix_rows_normalized():
+def test_fixed_point_coeffs_shape_and_norm():
     for in_s, out_s in [(1080, 882), (100, 378), (378, 378), (37, 200)]:
-        m = lanczos_matrix(in_s, out_s)
+        m = _pil_coeffs(in_s, out_s)
         assert m.shape == (out_s, in_s)
-        np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+        assert m.dtype == np.int32
+        # rows sum to ~1.0 in 22-bit fixed point (rounding moves each row
+        # by at most ksize/2 ULPs)
+        np.testing.assert_allclose(
+            m.sum(axis=1) / (1 << 22), 1.0, atol=1e-4
+        )
 
 
-@pytest.mark.parametrize("shape,out", [((240, 320), (378, 378)),
-                                       ((1080, 1440), (378, 378)),
-                                       ((500, 400), (882, 1162))])
-def test_matrix_resize_close_to_pil(shape, out):
+@pytest.mark.parametrize("shape,out", [
+    ((240, 320), (378, 378)),      # upscale both axes
+    ((1080, 1440), (378, 378)),    # downscale (bench shape -> global)
+    ((1080, 1440), (910, 1176)),   # downscale (bench shape -> 3x4 grid)
+    ((500, 400), (882, 1162)),     # upscale to a grid
+    ((378, 378), (378, 378)),      # identity (PIL skips both passes)
+    ((500, 378), (378, 378)),      # one axis identity (one pass skipped)
+    ((97, 203), (378, 378)),       # odd small
+    ((2160, 3840), (378, 378)),    # 4K downscale (wide tap windows)
+])
+def test_device_resize_bit_exact_vs_pil(shape, out):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (*shape, 3), np.uint8)
-    r = lanczos_matrix(shape[0], out[0])
-    c = lanczos_matrix(shape[1], out[1])
-    ours = np.einsum("oh,hwc->owc", r, img.astype(np.float32))
-    ours = np.einsum("owc,wi->oic", ours, c.T)
-    ref = np.asarray(
-        Image.fromarray(img).resize((out[1], out[0]), Image.Resampling.LANCZOS)
-    ).astype(np.float32)
-    # continuous-float vs PIL's uint8-quantized two-pass: a few LSB apart
-    # on average; upscaling shows larger local deviations (PIL quantizes
-    # the horizontal-pass intermediate to uint8 before the vertical pass)
-    diff = np.abs(np.clip(ours, 0, 255) - ref)
-    assert diff.mean() < 0.8, diff.mean()
-    assert np.percentile(diff, 99) < 10.0
+    want = np.asarray(
+        Image.fromarray(img).resize((out[1], out[0]),
+                                    Image.Resampling.LANCZOS)
+    )
+    got = np.asarray(
+        jax.jit(lambda x: device_resize(x, out[0], out[1]))(jnp.asarray(img))
+    )
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extreme_gradient_images_bit_exact():
+    # structured (non-random) content: gradients and hard edges exercise
+    # the negative-lobe taps and the clip8 saturation branches
+    h, w = 730, 1311
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+        ((yy > h // 2) * 255).astype(np.uint8),
+        ((xx % 7 == 0) * 255).astype(np.uint8),
+    ], axis=-1)
+    want = np.asarray(
+        Image.fromarray(img).resize((378, 378), Image.Resampling.LANCZOS)
+    )
+    got = np.asarray(
+        jax.jit(lambda x: device_resize(x, 378, 378))(jnp.asarray(img))
+    )
+    np.testing.assert_array_equal(got, want)
 
 
 def test_preprocess_tiling_matches_host():
@@ -53,22 +85,67 @@ def test_preprocess_tiling_matches_host():
         assert t == tuple(ref)
 
 
-def test_device_crops_match_host_geometry():
+@pytest.mark.parametrize("shape", [(800, 600), (1080, 1440), (240, 320)])
+def test_device_crops_bit_exact_vs_host(shape):
     rng = np.random.default_rng(1)
-    img = rng.integers(0, 256, (800, 600, 3), np.uint8)
+    img = rng.integers(0, 256, (*shape, 3), np.uint8)
     host = overlap_crop_image(img, overlap_margin=4, max_crops=12)
     tiling = tuple(host["tiling"])
     dev = np.asarray(
-        device_overlap_crops(jnp.asarray(img), tiling)
+        jax.jit(lambda x: device_overlap_crops(x, tiling))(jnp.asarray(img))
     )
     assert dev.shape == host["crops"].shape
-    diff = np.abs(dev - host["crops"].astype(np.float32))
-    assert diff.mean() < 1.0, diff.mean()
+    assert dev.dtype == np.uint8  # same ViT entry signature as host crops
+    np.testing.assert_array_equal(dev, host["crops"])
 
 
-def test_encode_image_device_path(monkeypatch):
-    """End-to-end: embeddings from the device path are close to the host
-    path's on the tiny model."""
+def test_batched_device_crops_bit_exact():
+    from moondream_tpu.ops.device_preprocess import (
+        device_overlap_crops_batched,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (3, 700, 900, 3), np.uint8)
+    hosts = [
+        overlap_crop_image(im, overlap_margin=4, max_crops=12)
+        for im in imgs
+    ]
+    tiling = tuple(hosts[0]["tiling"])
+    dev = np.asarray(
+        jax.jit(lambda x: device_overlap_crops_batched(x, tiling))(
+            jnp.asarray(imgs)
+        )
+    )
+    want = np.concatenate([h["crops"] for h in hosts], axis=0)
+    np.testing.assert_array_equal(dev, want)
+
+
+def test_encode_images_device_path_identical(monkeypatch):
+    """Batched encode: the (default) device crop path produces the same
+    encoded KV as the host path."""
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models.moondream import MoondreamModel
+    from moondream_tpu.tokenizer import ByteTokenizer
+
+    model = MoondreamModel(tiny_test_config(), tokenizer=ByteTokenizer(), seed=0)
+    rng = np.random.default_rng(4)
+    images = [
+        Image.fromarray(rng.integers(0, 255, (120, 160, 3), np.uint8))
+        for _ in range(2)
+    ]
+    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "0")
+    host_encs = model.encode_images(images)
+    monkeypatch.delenv("MOONDREAM_DEVICE_PREPROCESS")
+    dev_encs = model.encode_images(images)
+    for he, de in zip(host_encs, dev_encs):
+        np.testing.assert_array_equal(np.asarray(he.k), np.asarray(de.k))
+        np.testing.assert_array_equal(np.asarray(he.v), np.asarray(de.v))
+
+
+def test_encode_image_device_path_identical(monkeypatch):
+    """End-to-end: embeddings from the (default) device path equal the
+    host path's exactly on the tiny model — same uint8 crops in, same
+    bf16 encoder, same numbers out."""
     from moondream_tpu.config import tiny_test_config
     from moondream_tpu.models.moondream import MoondreamModel
     from moondream_tpu.tokenizer import ByteTokenizer
@@ -77,10 +154,9 @@ def test_encode_image_device_path(monkeypatch):
     rng = np.random.default_rng(2)
     image = Image.fromarray(rng.integers(0, 255, (120, 160, 3), np.uint8))
 
+    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "0")
     host_emb = np.asarray(model._run_vision_encoder(image), np.float32)
-    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "1")
+    monkeypatch.delenv("MOONDREAM_DEVICE_PREPROCESS")
     dev_emb = np.asarray(model._run_vision_encoder(image), np.float32)
     assert dev_emb.shape == host_emb.shape
-    # bf16 model + slightly different resample: expect close, not equal
-    denom = np.abs(host_emb).mean() + 1e-6
-    assert np.abs(dev_emb - host_emb).mean() / denom < 0.15
+    np.testing.assert_array_equal(dev_emb, host_emb)
