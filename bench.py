@@ -200,9 +200,11 @@ def aggregate(args, fields, configs_done, configs_skipped):
             f"median of healthy (>= {HEALTHY_TFS:.0f} TF/s pre+post)"
         ),
         "spec_note": (
-            "spec configs are exact greedy; see BASELINE.md realistic-"
-            "acceptance table for trained-weight acceptance vs the random-"
-            "weight upper bound"
+            "spec configs are exact greedy; random weights accept ~2.0 "
+            "tok/row/iter (upper bound) vs ~1.1-1.2 measured on a tiny LM "
+            "trained on real text (tools/spec_accept_realistic.py; "
+            "BASELINE.md table) — spec gains mostly close on real "
+            "checkpoints"
         ),
         "notes": "random weights; reference publishes no baseline numbers "
                  "(BASELINE.md)",
