@@ -120,9 +120,12 @@ def vision_param_shardings(mesh: Mesh, config: MoondreamConfig) -> dict:
             },
         },
         "post_ln": {"weight": rep, "bias": rep},
+        # proj_mlp is a single (un-stacked) MLP — no leading layer dim
+        # (caught by __graft_entry__._lower_2b_shardings' rank check: the
+        # stacked-blocks specs here silently mis-sharded at 2B shapes)
         "proj_mlp": {
-            "fc1": {"w": _ns(mesh, None, None, "tp"), "b": _ns(mesh, None, "tp")},
-            "fc2": {"w": _ns(mesh, None, "tp", None), "b": rep},
+            "fc1": {"w": _ns(mesh, None, "tp"), "b": _ns(mesh, "tp")},
+            "fc2": {"w": _ns(mesh, "tp", None), "b": rep},
         },
     }
 
