@@ -158,12 +158,16 @@ class BatchPipeline:
                 n_real = len(chunk)
                 while len(chunk) < B:  # pad tail to the compiled batch size
                     chunk = chunk + [chunk[-1]]
-                # device preprocessing by default: the producer ships the
-                # raw images and the (bit-exact) fixed-point Lanczos crops
-                # run on the MXU — ~0 host resample cost on this 1-core
-                # host, and the dispatch below starts the async H2D + crop
-                # graph NOW, while the consumer's previous batch decodes.
-                # Host PIL/C++ crop stacks are the fallback
+                # device preprocessing by default: the producer ships RAW
+                # image bytes (async H2D only — jnp.asarray never enters
+                # the device compute queue) and the consumer dispatches the
+                # bit-exact fixed-point Lanczos crop graph itself, right
+                # before the ViT. Dispatching the crop graph HERE instead
+                # was a measured 30%+ regression: a producer-thread compute
+                # dispatch lands at a nondeterministic position in the
+                # device's FIFO and makes the CONSUMER's in-flight decode
+                # wait on the next batch's ~1s tunnel transfer. Host
+                # PIL/C++ crop stacks are the fallback
                 # (MOONDREAM_DEVICE_PREPROCESS=0 / oversize images).
                 prepped = model._prep_crop_groups(chunk)
                 groups_idx = defaultdict(list)
@@ -173,10 +177,29 @@ class BatchPipeline:
                     groups_idx[(n, tiling)].append(i)
                 groups = []
                 for (n, tiling), idxs in groups_idx.items():
-                    crops_dev = model._crops_device(
-                        [prepped[i][0] for i in idxs], tiling
-                    )
-                    groups.append((tiling, n, idxs, crops_dev))
+                    segs = []  # ("raw", count, shape, dev) | ("crops", dev)
+                    run = []
+
+                    def flush():
+                        if run:
+                            batch_np = np.stack(run)
+                            segs.append((
+                                "raw", batch_np.shape[0], run[0].shape,
+                                jnp.asarray(batch_np),  # async H2D now
+                            ))
+                            run.clear()
+
+                    for i in idxs:
+                        it = prepped[i][0]
+                        if it.ndim == 3:  # raw image for device cropping
+                            if run and run[0].shape != it.shape:
+                                flush()
+                            run.append(it)
+                        else:  # host crop stack
+                            flush()
+                            segs.append(("crops", jnp.asarray(it)))
+                    flush()
+                    groups.append((tiling, n, idxs, segs))
                 if stop.is_set():
                     return
                 work.put(_Batch(groups, n_real))
@@ -193,7 +216,25 @@ class BatchPipeline:
         bsz = self.batch_size
 
         img_embs: List[Optional[jax.Array]] = [None] * bsz
-        for tiling, n, idxs, crops_dev in batch.groups:
+        for tiling, n, idxs, segs in batch.groups:
+            # materialize the group's crops IN THIS thread's dispatch
+            # order: the crop graphs run adjacent to the ViT, never
+            # between a previous batch's graphs (see _produce)
+            parts = []
+            for seg in segs:
+                if seg[0] == "raw":
+                    _, cnt, shape, dev = seg
+                    parts.append(
+                        model._device_preprocess_batched_fn(
+                            cnt, shape, tiling
+                        )(dev)
+                    )
+                else:
+                    parts.append(seg[1])
+            crops_dev = (
+                parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=0)
+            )
             feats = model._vis_enc_fn()(model.params["vision"], crops_dev)
             feats = feats.reshape(len(idxs), n, *feats.shape[1:])
             embs = model._stitch_proj_batched_fn(tiling)(
