@@ -821,7 +821,12 @@ def _decode_attention_paired(
     tkp = 0 if pref_k is None else pref_k.shape[3]
 
     hp = b * hp_c  # flattened pair rows
-    vmem_budget = 12 * 1024 * 1024
+    # Tunable for A/B only (tools/decode_kernel_ab.py --vmem-mb): smaller
+    # budgets shrink the head tile (more, smaller DMA blocks); 12MB of the
+    # ~16MB VMEM is the measured sweet spot and the default.
+    vmem_budget = int(
+        float(os.environ.get("MOONDREAM_DECODE_VMEM_MB", "12")) * 1024 * 1024
+    )
     # int8 blocks: 1B codes + a transient bf16 cast copy -> ~3B/elem;
     # spans (tq > 1) add a (pf*tq, tk) fp32 score plane per pair row
     elt = 3 if int8 else 2

@@ -1,11 +1,25 @@
 """A/B the paired decode-attention kernel: bf16 cache vs int8+scales, at
 the 2B pipelined-bench shapes (B=12, 24 layers, 1024 slots). Reports
-per-step kernel time and effective cache-read bandwidth. Diagnostic."""
+per-step kernel time and effective cache-read bandwidth. Diagnostic.
 
+--vmem-mb N sets MOONDREAM_DECODE_VMEM_MB before import, shrinking/
+growing the kernel's head tile (the round-3 verdict #10 "wider tiles"
+lever): 12 -> ht=8 (default), 6 -> ht=4, 3 -> ht=2 at the bench shape.
+ht=16 is infeasible — double-buffered k+v blocks would need ~17MB of the
+~16MB VMEM."""
+
+import argparse
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--vmem-mb", type=float, default=None)
+_args = _ap.parse_args()
+if _args.vmem_mb:
+    os.environ["MOONDREAM_DECODE_VMEM_MB"] = str(_args.vmem_mb)
 
 
 def log(*a):
@@ -17,7 +31,28 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    def probe_tfs(iters=10):
+        a = jnp.ones((8192, 8192), jnp.bfloat16)
+        f = jax.jit(lambda x: x @ x)
+        f(a).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = f(a)
+        jax.device_get(c.ravel()[0])
+        return iters * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+
+    # chip-state gate (BASELINE caution: A/Bs on the time-shared chip are
+    # garbage without it) — warm, then wait out degraded windows
+    probe_tfs(iters=2)
+    for _ in range(10):
+        tfs = probe_tfs()
+        log(f"chip probe: {tfs:.1f} TF/s")
+        if tfs >= 80:
+            break
+        log("degraded; waiting 60s...")
+        time.sleep(60)
 
     from moondream_tpu.models.text import quantize_kv
     from moondream_tpu.ops.attention import decode_attention_cached
@@ -81,14 +116,19 @@ def main():
         o = fn(*args)
         jax.device_get(o.ravel()[0])
         best = 1e9
+        pre = probe_tfs()
         for _ in range(5):
             t0 = time.perf_counter()
             o = fn(*args)
             jax.device_get(o.ravel()[0])
             best = min(best, (time.perf_counter() - t0) / REPS)
+        post = probe_tfs()
+        healthy = pre >= 80 and post >= 80
         log(f"{name}: {1000*best:.2f} ms for {L} layers "
             f"({1000*best/L:.3f} ms/layer-step, "
-            f"{bytes_step/best/1e9:.0f} GB/s cache read)")
+            f"{bytes_step/best/1e9:.0f} GB/s cache read) "
+            f"[probe {pre:.0f}/{post:.0f} "
+            f"{'healthy' if healthy else 'DEGRADED — discard'}]")
 
 
 if __name__ == "__main__":
