@@ -237,19 +237,27 @@ def orchestrate(args):
                "--child-deadline", str(child_stop)] + passthrough
         out_text = ""
         try:
-            res = subprocess.run(
-                cmd, stdout=subprocess.PIPE, stderr=None,
-                timeout=remaining,
-            )
-            out_text = res.stdout.decode()
-            if res.returncode != 0:
-                log(f"config {name} exited {res.returncode}; keeping any "
+            proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=None)
+            try:
+                out, _ = proc.communicate(timeout=remaining)
+            except subprocess.TimeoutExpired:
+                # children self-exit 60s before this fires (child_stop), so
+                # reaching here means a hang. SIGTERM first and give the
+                # child 15s to unwind — a SIGKILL mid-device-op can wedge
+                # the tunneled chip for the NEXT child (observed: the
+                # following child's first probe hung for its whole budget).
+                proc.terminate()
+                try:
+                    out, _ = proc.communicate(timeout=15)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    out, _ = proc.communicate()
+                log(f"config {name} hit the budget; keeping partial "
+                    "fragments")
+            out_text = (out or b"").decode()
+            if proc.returncode not in (0, None):
+                log(f"config {name} exited {proc.returncode}; keeping any "
                     "fragments it printed")
-        except subprocess.TimeoutExpired as e:
-            # children print a cumulative fields line after EVERY
-            # sub-measurement, so a killed child still contributes
-            out_text = (e.stdout or b"").decode()
-            log(f"config {name} hit the budget; keeping partial fragments")
         except Exception as e:
             log(f"config {name} FAILED ({type(e).__name__}: {e}); "
                 "fields stay null")
@@ -822,19 +830,65 @@ def child_main(args):
         stats_reps = []
 
         def one_run():
-            queue = make_queue()
+            # serve_http's prepare/step split: ONE producer thread runs
+            # the expensive admissions (prompt prefill on a pooled KV
+            # buffer; encode is cached) while this thread admits prepared
+            # requests into free slots and keeps step()ping — prepare()
+            # is documented step()-safe (models/serve.py:prepare).
+            # Latency is measured from prepare start (request arrival),
+            # load-test semantics.
+            import queue as _q
+            import threading
+
+            queue_items = make_queue()
+            total = len(queue_items)
+            pq: "_q.Queue" = _q.Queue(maxsize=4)
+
+            def producer():
+                try:
+                    for kind, enc in queue_items:
+                        t_arr = time.perf_counter()
+                        if kind == "detect":
+                            prep = eng.prepare_structured(
+                                enc, "thing", "detect", True, 4
+                            )
+                        else:
+                            prep = eng.prepare(enc)
+                        pq.put((prep, t_arr))
+                except Exception as e:
+                    pq.put(e)
+
+            thr = threading.Thread(target=producer, daemon=True)
             t_sub, lat = {}, {}
             t0 = time.perf_counter()
-            while queue or any(s.active for s in eng.slots) or eng._inflight:
-                while queue and eng.free_slots():
-                    kind, enc = queue.pop(0)
-                    if kind == "detect":
-                        rid = eng.submit_detect(enc, "thing", max_objects=4)
-                    else:
-                        rid = eng.submit(enc, max_tokens=MAX_TOK)
-                    t_sub[rid] = time.perf_counter()
+            thr.start()
+            ready = []
+            while len(lat) < total:
+                # drain prepared requests; BLOCK when the pool would
+                # otherwise spin idle (busy-waiting would starve the
+                # producer on this 1-core host)
+                pool_idle = (
+                    not any(s.active for s in eng.slots)
+                    and not eng._inflight
+                )
+                while True:
+                    try:
+                        item = pq.get(
+                            block=pool_idle and not ready, timeout=60
+                        )
+                    except _q.Empty:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    ready.append(item)
+                    pool_idle = False
+                while ready and eng.free_slots():
+                    prep, t_arr = ready.pop(0)
+                    rid = eng.admit_prepared(prep, max_tokens=MAX_TOK)
+                    t_sub[rid] = t_arr
                 for rid in eng.step():
                     lat[rid] = time.perf_counter() - t_sub[rid]
+            thr.join(timeout=10)
             dt = time.perf_counter() - t0
             tokens = sum(eng.token_counts.get(r, 0) for r in lat)
             ms = sorted(1000 * v for v in lat.values())
@@ -861,7 +915,9 @@ def child_main(args):
                 eng.submit(enc, max_tokens=8)
         eng.drain()
 
-        tps = run_healthy(one_run, "serving_full", want=2, max_tries=4)
+        # first rep routinely pays residual compiles/backend warmup; a
+        # 3-rep median absorbs it
+        tps = run_healthy(one_run, "serving_full", want=3, max_tries=5)
         best = min(
             stats_reps, key=lambda s: abs(s["serving_full_tok_s"] - tps)
         )
