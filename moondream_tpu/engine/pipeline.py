@@ -245,32 +245,36 @@ class BatchPipeline:
 
         wte = model.params["text"]["wte"]
         bos_emb = wte[jnp.asarray([cfg.tokenizer.bos_id])]
-        embeds = jnp.stack(
-            [jnp.concatenate([bos_emb, e], axis=0) for e in img_embs]
-        ).astype(model.dtype)
-        seq = embeds.shape[1]
 
         ids = list(prompt_tokens)
         length = len(ids)
         from ..models.moondream import PROMPT_PAD, _ceil_to
 
         pad = max(_ceil_to(length, PROMPT_PAD), PROMPT_PAD)
+        ids_padded = ids + [0] * (pad - length)
+        prompt_emb = wte[jnp.asarray(ids_padded)]
+
+        # ONE fused [BOS, image, prompt] prefill straight into the
+        # decode-sized buffer. The prompt is static, so nothing forces a
+        # separate pass — and a second prefill is a second full read of
+        # the 2.8GB weights (~50ms/batch, measured via tools/
+        # stage_times.py). Logits come from the last REAL prompt position
+        # (length masks the pad); the padded KV tail rows are never
+        # attended before decode overwrites them (col <= qpos), matching
+        # the old two-call behavior exactly.
+        embeds = jnp.stack(
+            [
+                jnp.concatenate([bos_emb, e, prompt_emb], axis=0)
+                for e in img_embs
+            ]
+        ).astype(model.dtype)
+        seq = embeds.shape[1] - pad  # [BOS, image] span (the attn prefix)
         bound = model._decode_bound(seq + pad + max_tokens + 1)
 
-        # [BOS, image] prefill straight into the decode-sized buffer
         kv = model._take_kv_buffer(bsz, bound)
-        _, _, kv = model._prefill_batched_fn(model._kv_bound(seq))(
-            model.params["text"], kv, embeds,
-            jnp.int32(0), jnp.int32(seq), jnp.int32(seq), lora=lora,
-        )
-
-        ids_padded = ids + [0] * (pad - length)
-        emb = jnp.broadcast_to(
-            wte[jnp.asarray(ids_padded)][None], (bsz, pad, cfg.text.dim)
-        ).astype(model.dtype)
         logits, _, kv = model._prefill_batched_fn(model._kv_bound(seq + pad))(
-            model.params["text"], kv, emb,
-            jnp.int32(seq), jnp.int32(length),
+            model.params["text"], kv, embeds,
+            jnp.int32(0), jnp.int32(seq + length),
             jnp.int32(cfg.text.prefix_attn), lora=lora,
         )
         first = model._sample_batched_fn()(

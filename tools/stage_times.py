@@ -9,9 +9,13 @@ Usage: python tools/stage_times.py [--batch 12] [--kv-int8] [--int4]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
