@@ -59,6 +59,7 @@ CONFIG_ORDER = [
     "serving_decode",
     "int4kv8_pipelined",
     "int4kv8_spec_pipelined",
+    "int4_spec_pipelined_b12",
     "vit8",
 ]
 BF16_ONLY = ["spec_pipelined_bf16", "single", "pipelined_bf16"]
@@ -139,6 +140,8 @@ def aggregate(args, fields, configs_done, configs_skipped):
          f"bf16 spec pipelined B={B}"),
         (fields.get("int4_kv8_b12_images_per_sec"),
          f"int4+kv8 pipelined B={B}"),
+        (fields.get("spec_pipelined_int4_b12_images_per_sec"),
+         f"int4 (bf16 KV) spec pipelined B={B}"),
         (fields.get("spec_pipelined_int4_kv8_b12_images_per_sec"),
          f"int4+kv8 spec pipelined B={B}"),
         (fields.get("int4_kv8_b16_images_per_sec"),
@@ -164,6 +167,7 @@ def aggregate(args, fields, configs_done, configs_skipped):
     defaults = {k: None for k in (
         "bf16_images_per_sec", "spec_pipelined_bf16_images_per_sec",
         "int4_kv8_b12_images_per_sec",
+        "spec_pipelined_int4_b12_images_per_sec",
         "spec_pipelined_int4_kv8_b12_images_per_sec",
         "int4_kv8_b16_images_per_sec",
         "spec_pipelined_int4_kv8_images_per_sec",
@@ -393,7 +397,7 @@ def child_main(args):
         args.kv_int8 or (name or "").startswith("int4kv8")
         or name in ("serving_full", "vit8")
     )
-    want_int4 = args.int4 or (name or "").startswith("int4kv8") or name in (
+    want_int4 = args.int4 or (name or "").startswith("int4") or name in (
         "serving_decode", "serving_full", "vit8"
     )
 
@@ -715,6 +719,16 @@ def child_main(args):
             run_pipelined(args.batch, " int4+kv8"), 4
         )
         fields["live_hbm_gb_int4_b12"] = live_hbm_gb()
+    elif name == "int4_spec_pipelined_b12":
+        # int4 weights with the BF16 KV cache: the spec verify iteration
+        # is weights-stream-bound (~9ms/iter bf16, microbenched), int4
+        # cuts the 2.8GB read to 0.7GB, and round-3's "int4 spec loses"
+        # finding conflated it with the int8-KV span kernel's unpack
+        # regression — this cell isolates the weights effect
+        fields["spec_pipelined_int4_b12_images_per_sec"] = round(
+            run_pipelined(args.batch, " int4 spec", speculative=8), 4
+        )
+        fields["live_hbm_gb_spec_int4only_b12"] = live_hbm_gb()
     elif name == "int4kv8_spec_pipelined_b12":
         fields["spec_pipelined_int4_kv8_b12_images_per_sec"] = round(
             run_pipelined(args.batch, " int4+kv8 spec", speculative=8), 4
