@@ -51,6 +51,7 @@ HEALTHY_TFS = 80.0
 # cells are kept last as the legacy comparison.
 CONFIG_ORDER = [
     "spec_pipelined_bf16",
+    "int8w_spec_pipelined_b12",
     "int4kv8_spec_pipelined_b12",
     "single",
     "pipelined_bf16",
@@ -60,6 +61,7 @@ CONFIG_ORDER = [
     "int4kv8_pipelined",
     "int4kv8_spec_pipelined",
     "int4_spec_pipelined_b12",
+    "int8w_pipelined_b12",
     "vit8",
 ]
 BF16_ONLY = ["spec_pipelined_bf16", "single", "pipelined_bf16"]
@@ -144,6 +146,10 @@ def aggregate(args, fields, configs_done, configs_skipped):
          f"int4 (bf16 KV) spec pipelined B={B}"),
         (fields.get("spec_pipelined_int4_kv8_b12_images_per_sec"),
          f"int4+kv8 spec pipelined B={B}"),
+        (fields.get("spec_pipelined_int8_b12_images_per_sec"),
+         f"int8 w8a8 spec pipelined B={B}"),
+        (fields.get("int8_b12_images_per_sec"),
+         f"int8 w8a8 pipelined B={B}"),
         (fields.get("int4_kv8_b16_images_per_sec"),
          f"int4+kv8 pipelined B={int4_batch}"),
         (fields.get("spec_pipelined_int4_kv8_images_per_sec"),
@@ -169,6 +175,8 @@ def aggregate(args, fields, configs_done, configs_skipped):
         "int4_kv8_b12_images_per_sec",
         "spec_pipelined_int4_b12_images_per_sec",
         "spec_pipelined_int4_kv8_b12_images_per_sec",
+        "spec_pipelined_int8_b12_images_per_sec",
+        "int8_b12_images_per_sec",
         "int4_kv8_b16_images_per_sec",
         "spec_pipelined_int4_kv8_images_per_sec",
         "int4_kv8_vit8_b16_images_per_sec",
@@ -400,6 +408,7 @@ def child_main(args):
     want_int4 = args.int4 or (name or "").startswith("int4") or name in (
         "serving_decode", "serving_full", "vit8"
     )
+    want_int8w = (name or "").startswith("int8w")
 
     config = MOONDREAM_2B if args.config == "2b" else MOONDREAM_05B
     if want_kv8:
@@ -420,6 +429,15 @@ def child_main(args):
         }
         model._kv_pool.clear()
         log("text weights quantized to runtime int4")
+    if want_int8w:
+        from moondream_tpu.models.text import quantize_text_params_int8
+
+        model.params = {
+            **model.params,
+            "text": quantize_text_params_int8(model.params["text"]),
+        }
+        model._kv_pool.clear()
+        log("text weights quantized to runtime int8 (w8a8, native MXU)")
     if name == "vit8":
         from moondream_tpu.models.vision import quantize_vision_params
 
@@ -734,6 +752,22 @@ def child_main(args):
             run_pipelined(args.batch, " int4+kv8 spec", speculative=8), 4
         )
         fields["live_hbm_gb_spec_int4_b12"] = live_hbm_gb()
+    elif name == "int8w_spec_pipelined_b12":
+        # int8 w8a8 text weights under the speculative verify: halves the
+        # weights-stream (2.8 -> 1.4 GB/iter) like int4 aspires to, but
+        # through NATIVE MXU int8 dots that keep utilization at the
+        # verify's M = B*k row panels where the int4 group-dot kernel
+        # loses (BASELINE.md round-4 dissection). bf16 KV (int8 KV is a
+        # measured span-kernel regression).
+        fields["spec_pipelined_int8_b12_images_per_sec"] = round(
+            run_pipelined(args.batch, " int8w spec", speculative=8), 4
+        )
+        fields["live_hbm_gb_spec_int8_b12"] = live_hbm_gb()
+    elif name == "int8w_pipelined_b12":
+        fields["int8_b12_images_per_sec"] = round(
+            run_pipelined(args.batch, " int8w"), 4
+        )
+        fields["live_hbm_gb_int8_b12"] = live_hbm_gb()
     elif name == "int4kv8_pipelined":
         fields["int4_kv8_b16_images_per_sec"] = round(
             run_pipelined(args.int4_batch, " int4+kv8"), 4

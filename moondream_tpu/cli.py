@@ -34,6 +34,11 @@ def main():
     parser.add_argument("--int4", action="store_true",
                         help="serve text weights packed int4 through the "
                              "fused dequant-matmul kernel (1.7x decode)")
+    parser.add_argument("--int8-text", action="store_true",
+                        help="serve text weights as int8 w8a8 (native MXU "
+                             "int8 matmuls; 2x less weight traffic at any "
+                             "batch — the large-batch/speculative-verify "
+                             "counterpart to --int4)")
     parser.add_argument("--kv-int8", action="store_true",
                         help="store the KV cache as int8 codes + per-row "
                              "scales: halves cache HBM footprint and "
@@ -70,19 +75,23 @@ def main():
             config, text=dataclasses.replace(config.text, kv_int8=True)
         )
     params = (
-        load_params(args.model, config, runtime_int4=args.int4)
+        load_params(args.model, config, runtime_int4=args.int4,
+                    runtime_int8=args.int8_text)
         if args.model
         else None
     )
     model = MoondreamModel(
         config, params=params, tokenizer=load_tokenizer(args.tokenizer)
     )
-    if params is None and args.int4:
+    if params is None and (args.int4 or args.int8_text):
         # random-weights demo path: quantize the freshly initialized text tree
-        from .models.text import quantize_text_params
+        from .models.text import (
+            quantize_text_params, quantize_text_params_int8,
+        )
 
+        q = quantize_text_params if args.int4 else quantize_text_params_int8
         model.params = {
-            **model.params, "text": quantize_text_params(model.params["text"])
+            **model.params, "text": q(model.params["text"])
         }
     if args.int8_vision:
         from .models.vision import quantize_vision_params

@@ -23,9 +23,10 @@ the gate corpus (synthetic + natural images):
                   <= 2% (rel_l2), max absolute element error <= 0.15
                   (bf16 embeds are O(1) after projection), AND greedy
                   caption-token agreement >= 95%.
-  * kv int8 / text int4: greedy caption-token agreement >= 95% and no
-                  eval-suite benchmark regressing > 1 point (run
-                  ``eval_all --int4 --kv-int8`` vs the bf16 run).
+  * kv int8 / text int4 / text int8 (w8a8): greedy caption-token
+                  agreement >= 95% and no eval-suite benchmark regressing
+                  > 1 point (run ``eval_all --int4 --kv-int8`` vs the
+                  bf16 run).
 
 Until real checkpoints are reachable (BASELINE.md records the blocker),
 CI runs this harness at the tiny config to pin the MECHANISM (bounded
@@ -182,6 +183,9 @@ def main():
     ap.add_argument("--config", default="2b", choices=["2b", "05b"])
     ap.add_argument("--vit8", action="store_true")
     ap.add_argument("--int4", action="store_true")
+    ap.add_argument("--int8-text", action="store_true",
+                    help="int8 w8a8 text blocks "
+                         "(models.text.quantize_text_params_int8)")
     ap.add_argument("--kv8", action="store_true")
     ap.add_argument("--max-tokens", type=int, default=32)
     args = ap.parse_args()
@@ -207,7 +211,7 @@ def main():
     if args.vit8:
         report.update(vision_projection_drift(model))
 
-    if args.vit8 or args.int4 or args.kv8:
+    if args.vit8 or args.int4 or args.int8_text or args.kv8:
         qcfg = config
         if args.kv8:
             qcfg = dataclasses.replace(
@@ -218,6 +222,10 @@ def main():
             from ..models.text import quantize_text_params
 
             qparams["text"] = quantize_text_params(qparams["text"])
+        elif args.int8_text:
+            from ..models.text import quantize_text_params_int8
+
+            qparams["text"] = quantize_text_params_int8(qparams["text"])
         if args.vit8:
             from ..models.vision import quantize_vision_params
 

@@ -232,6 +232,45 @@ def quantize_text_params(text_params: dict) -> dict:
     return out
 
 
+def quantize_text_params_int8(text_params: dict) -> dict:
+    """Convert dense stacked block weights to the int8 w8a8 runtime format.
+
+    Each blocks/{attn,mlp}/{qkv,proj,fc1,fc2} entry {"w": (L, K, N),
+    "b": ...} becomes {"wq": int8 (L, K, N), "scale": fp32 (L, 1, N),
+    "b": ...} — per-output-channel symmetric codes that ride the layer
+    scan's xs exactly like the dense weights and dispatch through
+    ops.layers.linear's int8 branch (int8 x int8 -> int32 on the MXU at
+    2x the bf16 rate, activations dynamically quantized per row).
+
+    Rationale vs the int4 path (quantize_text_params): the int4
+    group-dot kernel is shaped for decode's M=8-16 row panels and loses
+    MXU utilization at the speculative verify's M = B*k rows
+    (BASELINE.md round-4 dissection). int8 halves the per-step HBM
+    weight read (2.8 -> 1.4 GB on 2B) while KEEPING native-MXU matmuls
+    at any M. wte / lm_head / norms / biases stay bf16, mirroring the
+    reference's text-only quantization scope (torch/weights.py:183-206).
+    """
+    blocks = text_params["blocks"]
+    new_blocks = {"ln": blocks["ln"], "attn": {}, "mlp": {}}
+
+    @jax.jit
+    def quantize(w):
+        wf = jnp.asarray(w, jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-8)
+        s = s / 127.0
+        return jnp.round(wf / s).astype(jnp.int8), s
+
+    for mod, names in (("attn", ("qkv", "proj")), ("mlp", ("fc1", "fc2"))):
+        for nm in names:
+            wq, scale = quantize(jnp.asarray(blocks[mod][nm]["w"]))
+            new_blocks[mod][nm] = {
+                "wq": wq, "scale": scale, "b": blocks[mod][nm]["b"],
+            }
+    out = dict(text_params)
+    out["blocks"] = new_blocks
+    return out
+
+
 def _split_qkv(qkv: jax.Array, config: TextConfig) -> Tuple[jax.Array, ...]:
     b, t, _ = qkv.shape
     q_dim = config.n_heads * config.head_dim
@@ -486,12 +525,14 @@ def prefix_attn_mask(q_len: int, prefix: int) -> jnp.ndarray:
 
 def _require_dense(w: dict, op: str) -> None:
     """The cache-free training/capture paths read the dense block weights,
-    which quantize_text_params replaces with packed int4."""
+    which quantize_text_params / quantize_text_params_int8 replace with
+    quantized runtime formats."""
     if "blocks_q" in w or "w" not in w["blocks"]["attn"]["qkv"]:
         raise ValueError(
-            f"{op} is not supported with runtime_int4 text params: the dense "
-            "block weights were replaced by packed int4. Load the checkpoint "
-            "with runtime_int4=False for finetuning / hidden-state capture."
+            f"{op} is not supported with quantized runtime text params: the "
+            "dense block weights were replaced by packed int4 / int8 codes. "
+            "Load the checkpoint with runtime_int4=False / runtime_int8=False "
+            "for finetuning / hidden-state capture."
         )
 
 

@@ -1038,6 +1038,9 @@ def main():
     parser.add_argument("--slot-len", type=int, default=1024)
     parser.add_argument("--chunk", type=int, default=8)
     parser.add_argument("--int4", action="store_true")
+    parser.add_argument("--int8-text", action="store_true",
+                        help="int8 w8a8 text weights (native MXU; best "
+                             "with --spec where the verify runs B*k rows)")
     parser.add_argument("--spec", type=int, default=0, metavar="K",
                         help="speculative serving chunks with K-token "
                              "drafts (greedy pools: exact token match; "
@@ -1110,7 +1113,8 @@ def main():
 
     config = resolve_config(args.config)
     params = (
-        load_params(args.model, config, runtime_int4=args.int4)
+        load_params(args.model, config, runtime_int4=args.int4,
+                    runtime_int8=args.int8_text)
         if args.model
         else None
     )

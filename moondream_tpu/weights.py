@@ -309,6 +309,7 @@ def load_params(
     config: MoondreamConfig,
     dtype=jnp.bfloat16,
     runtime_int4: bool = False,
+    runtime_int8: bool = False,
 ) -> dict:
     """Load a .safetensors or torch .pt/.bin checkpoint into the parameter
     pytree (reference entry point: weights.py:156-171).
@@ -317,7 +318,13 @@ def load_params(
     int4 runtime format served by the fused dequant-matmul kernel
     (ops.quant) — 4x less decode weight traffic; vision/region/embeddings
     stay bf16. Works for both bf16 and int4-quantized checkpoints (the
-    latter round-trip through the load-time dequant)."""
+    latter round-trip through the load-time dequant).
+
+    runtime_int8=True instead re-quantizes the text block weights to the
+    int8 w8a8 format (models.text.quantize_text_params_int8): 2x less
+    weight traffic with native-MXU int8 matmuls at any batch — the
+    large-M (speculative verify / prefill) counterpart to int4's
+    small-M decode kernel."""
     if path.endswith(".safetensors"):
         flat = load_safetensors_flat(path)
     else:
@@ -326,8 +333,14 @@ def load_params(
         state = torch.load(path, map_location="cpu", weights_only=True)
         flat = {k: _to_numpy(v) for k, v in state.items()}
     params = params_from_flat(flat, config, dtype)
+    if runtime_int4 and runtime_int8:
+        raise ValueError("runtime_int4 and runtime_int8 are exclusive")
     if runtime_int4:
         from .models.text import quantize_text_params
 
         params = {**params, "text": quantize_text_params(params["text"])}
+    elif runtime_int8:
+        from .models.text import quantize_text_params_int8
+
+        params = {**params, "text": quantize_text_params_int8(params["text"])}
     return params

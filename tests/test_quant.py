@@ -178,3 +178,95 @@ def test_int8_vision_model_end_to_end():
     assert out1 == out2
     det = qmodel.detect(image, "thing", settings=greedy)
     assert "objects" in det
+
+
+def test_int8_text_decoder_close_to_dense():
+    """quantize_text_params_int8: the w8a8 block path tracks the dense
+    decoder closely (per-output-channel weights, dynamic per-row
+    activations) through prefill AND cached decode steps."""
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models import text as jtext
+    from moondream_tpu.models.text import quantize_text_params_int8
+
+    cfg = tiny_test_config().text
+    params = jtext.init_text_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quantize_text_params_int8(params)
+    assert "blocks_q" not in q
+    assert "w" not in q["blocks"]["attn"]["qkv"]
+    assert q["blocks"]["attn"]["qkv"]["wq"].dtype == jnp.int8
+    L = cfg.n_layers
+    assert q["blocks"]["mlp"]["fc1"]["scale"].shape[0] == L
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 12, cfg.dim)) * 0.3, jnp.float32)
+    kv_d = jtext.KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    kv_q = jtext.KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    h_d, kv_d = jtext.text_decoder(x, params, kv_d, jnp.int32(0), jnp.int32(0), cfg)
+    h_q, kv_q = jtext.text_decoder(x, q, kv_q, jnp.int32(0), jnp.int32(0), cfg)
+    # int8 error budget: per-channel weights (~0.4% rel) x 2 linears/block
+    cos = np.sum(np.asarray(h_d) * np.asarray(h_q)) / (
+        np.linalg.norm(h_d) * np.linalg.norm(h_q)
+    )
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_d), atol=0.15)
+
+    pos = 12
+    for step in range(3):
+        tok = jnp.asarray(
+            rng.standard_normal((1, 1, cfg.dim)) * 0.3, jnp.float32
+        )
+        h_d, kv_d = jtext.text_decoder(
+            tok, params, kv_d, jnp.int32(pos), jnp.int32(0), cfg
+        )
+        h_q, kv_q = jtext.text_decoder(
+            tok, q, kv_q, jnp.int32(pos), jnp.int32(0), cfg
+        )
+        np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_d), atol=0.15)
+        pos += 1
+
+
+def test_int8_text_model_end_to_end():
+    """runtime_int8 text params through the full caption/query pipeline:
+    the quantized tree rides the layer scan's xs and dispatches through
+    ops.layers.linear's int8 branch with no engine changes."""
+    from PIL import Image
+
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models.moondream import MoondreamModel
+    from moondream_tpu.models.text import quantize_text_params_int8
+    from moondream_tpu.tokenizer import ByteTokenizer
+
+    cfg = tiny_test_config()
+    model = MoondreamModel(cfg, tokenizer=ByteTokenizer(), seed=0)
+    qmodel = MoondreamModel(
+        cfg,
+        params={
+            **model.params,
+            "text": quantize_text_params_int8(model.params["text"]),
+        },
+        tokenizer=ByteTokenizer(),
+    )
+    rng = np.random.default_rng(0)
+    image = Image.fromarray(
+        rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    )
+    greedy = {"temperature": 0.0, "top_p": 0.0, "max_tokens": 6}
+    out1 = qmodel.caption(image, "normal", settings=greedy)["caption"]
+    out2 = qmodel.caption(image, "normal", settings=greedy)["caption"]
+    assert out1 == out2
+    ans = qmodel.query(image=image, question="what?", settings=greedy)["answer"]
+    assert isinstance(ans, str)
+
+
+def test_int8_text_finetune_guard():
+    """Cache-free training paths refuse quantized runtime text params."""
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models import text as jtext
+    from moondream_tpu.models.text import quantize_text_params_int8
+
+    cfg = tiny_test_config().text
+    params = jtext.init_text_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quantize_text_params_int8(params)
+    x = jnp.zeros((1, 4, cfg.dim), jnp.float32)
+    with pytest.raises(ValueError, match="quantized runtime"):
+        jtext.produce_hidden(x, q, cfg)
