@@ -13,12 +13,13 @@ import sys
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_use_thunk_runtime" not in flags:
-    # the thunk executor can deadlock multi-collective mesh programs on a
-    # starved 1-core host (per-device collective order inversion — see
-    # __graft_entry__.dryrun_multichip); the sequential legacy runtime is
-    # deadlock-free and fast enough for test shapes
-    flags = (flags + " --xla_cpu_use_thunk_runtime=false").strip()
+# NOTE: the thunk executor can deadlock multi-collective mesh programs on
+# a starved 1-core host (per-device collective order inversion — see
+# __graft_entry__.dryrun_multichip, which retries in a fresh process).
+# The old --xla_cpu_use_thunk_runtime=false escape hatch is a no-op in
+# this jaxlib ("no longer supported"), so tests that execute (not just
+# lower) multi-collective mesh programs should keep them small and/or
+# run them in a subprocess like test_graft_dryrun_multichip does.
 os.environ["XLA_FLAGS"] = flags
 # moondream_tpu/__init__.py re-applies JAX_PLATFORMS through jax.config
 # (restoring standard env semantics the axon sitecustomize breaks) — the
