@@ -21,6 +21,10 @@ def main():
     p.add_argument("--decode-tokens", type=int, default=128)
     p.add_argument("--spec-k", type=int, default=8)
     p.add_argument("--kv-int8", action="store_true")
+    p.add_argument("--int4", action="store_true",
+                   help="runtime-int4 text block weights (the bench's "
+                        "int4 cells) — for like-for-like verify-iteration "
+                        "timing vs bf16 in the same chip window")
     args = p.parse_args()
 
     import jax
