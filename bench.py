@@ -295,6 +295,11 @@ def orchestrate(args):
 
 
 def child_main(args):
+    # fixed-shape bench: route device preprocessing eagerly (the default
+    # 'adaptive' mode sends the FIRST image of each shape down the host
+    # path while the crop graph warms in the background — correct for a
+    # varied-resolution production stream, nondeterministic for timing)
+    os.environ.setdefault("MOONDREAM_DEVICE_PREPROCESS", "eager")
     import jax
     import jax.numpy as jnp
 

@@ -177,28 +177,11 @@ class BatchPipeline:
                     groups_idx[(n, tiling)].append(i)
                 groups = []
                 for (n, tiling), idxs in groups_idx.items():
-                    segs = []  # ("raw", count, shape, dev) | ("crops", dev)
-                    run = []
-
-                    def flush():
-                        if run:
-                            batch_np = np.stack(run)
-                            segs.append((
-                                "raw", batch_np.shape[0], run[0].shape,
-                                jnp.asarray(batch_np),  # async H2D now
-                            ))
-                            run.clear()
-
-                    for i in idxs:
-                        it = prepped[i][0]
-                        if it.ndim == 3:  # raw image for device cropping
-                            if run and run[0].shape != it.shape:
-                                flush()
-                            run.append(it)
-                        else:  # host crop stack
-                            flush()
-                            segs.append(("crops", jnp.asarray(it)))
-                    flush()
+                    # async H2D only; the crop graphs are dispatched by
+                    # the CONSUMER (model._materialize_crop_segments)
+                    segs = model._build_crop_segments(
+                        [prepped[i][0] for i in idxs]
+                    )
                     groups.append((tiling, n, idxs, segs))
                 if stop.is_set():
                     return
@@ -220,21 +203,7 @@ class BatchPipeline:
             # materialize the group's crops IN THIS thread's dispatch
             # order: the crop graphs run adjacent to the ViT, never
             # between a previous batch's graphs (see _produce)
-            parts = []
-            for seg in segs:
-                if seg[0] == "raw":
-                    _, cnt, shape, dev = seg
-                    parts.append(
-                        model._device_preprocess_batched_fn(
-                            cnt, shape, tiling
-                        )(dev)
-                    )
-                else:
-                    parts.append(seg[1])
-            crops_dev = (
-                parts[0] if len(parts) == 1
-                else jnp.concatenate(parts, axis=0)
-            )
+            crops_dev = model._materialize_crop_segments(segs, tiling)
             feats = model._vis_enc_fn()(model.params["vision"], crops_dev)
             feats = feats.reshape(len(idxs), n, *feats.shape[1:])
             embs = model._stitch_proj_batched_fn(tiling)(

@@ -157,6 +157,14 @@ class MoondreamModel:
         # threads take buffers, and the bounded-append check must be atomic.
         self._kv_pool: Dict[int, List[KVCache]] = {}
         self._kv_pool_lock = threading.Lock()
+        # Device-preprocess shape router (adaptive mode): a fresh
+        # (image shape, tiling) pays a one-off crop-graph compile that
+        # would stall a varied-resolution stream, so unseen shapes take
+        # the bit-identical host path while a background thread warms the
+        # device graph; once warm, the shape routes on-device for good.
+        self._devpre_ready: set = set()
+        self._devpre_warming: set = set()
+        self._devpre_lock = threading.Lock()
 
     # ------------------------------------------------------------------ rng
     def _next_rng(self) -> jax.Array:
@@ -555,13 +563,58 @@ class MoondreamModel:
 
         return self._jit(("dev_pre_b", count, shape, tiling), build)
 
+    def _devpre_route(self, shape, tiling) -> bool:
+        """Decide host vs device preprocessing for one (image shape,
+        tiling). 'eager' always routes on-device (fixed-shape benches /
+        tests; a new shape compiles inline). 'adaptive' (the default)
+        routes on-device only once the shape's crop graph is compiled:
+        the first image of a new shape takes the bit-identical host path
+        while a daemon thread warms the device graphs, so a
+        varied-resolution production stream never stalls on a compile
+        (per-shape cost would otherwise be 100s of ms even with the
+        persistent compilation cache). The warm covers the single-image
+        and count-1 batched graphs; other batch counts compile inline on
+        first use (one-off, persisted in the compilation cache)."""
+        from ..ops import device_preprocess as devpre
+
+        if devpre.mode() == "eager":
+            return True
+        key = (tuple(shape), tuple(tiling))
+        with self._devpre_lock:
+            if key in self._devpre_ready:
+                return True
+            if key in self._devpre_warming:
+                return False
+            self._devpre_warming.add(key)
+
+        def warm():
+            try:
+                dummy = jnp.zeros(shape, jnp.uint8)  # device fill, no H2D
+                jax.block_until_ready(
+                    self._device_preprocess_fn(tuple(shape), tiling)(dummy)
+                )
+                jax.block_until_ready(
+                    self._device_preprocess_batched_fn(
+                        1, tuple(shape), tiling
+                    )(dummy[None])
+                )
+                with self._devpre_lock:
+                    self._devpre_ready.add(key)
+            finally:
+                with self._devpre_lock:
+                    self._devpre_warming.discard(key)
+
+        threading.Thread(target=warm, daemon=True).start()
+        return False
+
     def _prep_crop_groups(self, images):
         """Per image: (crops | raw image, tiling). With device
         preprocessing on (the default), the raw uint8 array is returned
         (ndim 3) and cropping happens on device in _crops_device —
         bit-identical to host crops, ~0 host resample cost, and a smaller
         H2D transfer. Host fallback returns the (n, base, base, 3) crop
-        stack (ndim 4)."""
+        stack (ndim 4); shapes whose device graph is still compiling
+        route host too (_devpre_route)."""
         from ..ops import device_preprocess as devpre
 
         cfg = self.config.vision
@@ -569,6 +622,7 @@ class MoondreamModel:
         out = []
         for im in images:
             np_image = np.asarray(im.convert("RGB"))
+            tiling = None
             if use_dev and devpre.exact_path_supported(
                 *np_image.shape[:2], cfg.crop_size
             ):
@@ -576,6 +630,9 @@ class MoondreamModel:
                     np_image.shape[0], np_image.shape[1], cfg.crop_size,
                     cfg.enc_patch_size, cfg.overlap_margin, cfg.max_crops,
                 )
+            if tiling is not None and self._devpre_route(
+                np_image.shape, tiling
+            ):
                 out.append((np_image, tiling))
             else:
                 co = overlap_crop_image(
@@ -585,22 +642,25 @@ class MoondreamModel:
                 out.append((co["crops"], tuple(co["tiling"])))
         return out
 
-    def _crops_device(self, items, tiling) -> jax.Array:
-        """Concatenate a tiling group's per-image crops (host stacks
-        and/or raw images for device cropping) into one image-major
-        device array. Consecutive same-shape raw images share one batched
-        device-crop call."""
+    def _build_crop_segments(self, items):
+        """Producer half of the crop-segment contract: split a tiling
+        group's per-image items (raw ndim-3 images for device cropping
+        and/or ndim-4 host crop stacks) into segments, starting the async
+        H2D for each. Consecutive same-shape raw images share a segment
+        so they later share one batched device-crop call. NO device
+        compute is dispatched here — a producer-thread compute dispatch
+        lands at a nondeterministic FIFO position and stalls the
+        consumer's in-flight work (engine/pipeline.py). Segments:
+        ("raw", count, image_shape, device_u8) | ("crops", device_u8)."""
         segs = []
         run = []  # consecutive raw images of identical shape
 
         def flush():
             if run:
                 batch = np.stack(run)
-                segs.append(
-                    self._device_preprocess_batched_fn(
-                        batch.shape[0], run[0].shape, tiling
-                    )(jnp.asarray(batch))
-                )
+                segs.append((
+                    "raw", batch.shape[0], run[0].shape, jnp.asarray(batch)
+                ))
                 run.clear()
 
         for it in items:
@@ -610,9 +670,34 @@ class MoondreamModel:
                 run.append(it)
             else:  # host crop stack
                 flush()
-                segs.append(jnp.asarray(it))
+                segs.append(("crops", jnp.asarray(it)))
         flush()
-        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
+        return segs
+
+    def _materialize_crop_segments(self, segs, tiling) -> jax.Array:
+        """Consumer half: dispatch each raw segment's device crop graph
+        (in THIS thread's dispatch order, adjacent to the ViT) and
+        concatenate into one image-major crop array."""
+        parts = []
+        for seg in segs:
+            if seg[0] == "raw":
+                _, cnt, shape, dev = seg
+                parts.append(
+                    self._device_preprocess_batched_fn(cnt, shape, tiling)(
+                        dev
+                    )
+                )
+            else:
+                parts.append(seg[1])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    def _crops_device(self, items, tiling) -> jax.Array:
+        """Concatenate a tiling group's per-image crops (host stacks
+        and/or raw images for device cropping) into one image-major
+        device array (single-thread path: build + materialize here)."""
+        return self._materialize_crop_segments(
+            self._build_crop_segments(items), tiling
+        )
 
     def _run_vision_encoder(self, image) -> jax.Array:
         """PIL image -> (729, text_dim) projected image embedding
@@ -630,15 +715,15 @@ class MoondreamModel:
 
         from ..ops import device_preprocess as devpre
 
+        tiling = None
         if devpre.enabled() and devpre.exact_path_supported(
             *np_image.shape[:2], cfg.crop_size
         ):
-            from ..ops.device_preprocess import preprocess_tiling
-
-            tiling = preprocess_tiling(
+            tiling = devpre.preprocess_tiling(
                 np_image.shape[0], np_image.shape[1], cfg.crop_size,
                 cfg.enc_patch_size, cfg.overlap_margin, cfg.max_crops,
             )
+        if tiling is not None and self._devpre_route(np_image.shape, tiling):
             n = tiling[0] * tiling[1] + 1
             crops_dev = self._device_preprocess_fn(np_image.shape, tiling)(
                 jnp.asarray(np_image)

@@ -63,12 +63,35 @@ import numpy as np
 from .image_crops import select_tiling
 
 
+_FALSY = ("0", "", "false", "off", "no", "n")
+_TRUTHY = ("1", "true", "on", "yes", "y")
+
+
+def mode() -> str:
+    """MOONDREAM_DEVICE_PREPROCESS parsing: 'off' (host path), 'adaptive'
+    (default: device path once the shape's crop graph is compiled, host +
+    background warm for shapes not yet seen — a fresh (H, W, tiling)
+    costs a one-off compile that would otherwise stall a varied-resolution
+    stream), or 'eager' (always device, compile inline — fixed-shape
+    benches/tests). Unrecognized values raise so a typo'd opt-out never
+    silently stays on."""
+    raw = os.environ.get("MOONDREAM_DEVICE_PREPROCESS", "1").lower()
+    if raw in _FALSY:
+        return "off"
+    if raw in _TRUTHY or raw == "adaptive":
+        return "adaptive"
+    if raw == "eager":
+        return "eager"
+    raise ValueError(
+        f"MOONDREAM_DEVICE_PREPROCESS={raw!r} not understood: use one of "
+        "0/off/no (host), 1/on/yes/adaptive (default), or eager"
+    )
+
+
 def enabled() -> bool:
     """Device preprocessing is DEFAULT-ON (it is uint8-bit-exact with the
     host PIL/C++ path); MOONDREAM_DEVICE_PREPROCESS=0 forces host."""
-    return os.environ.get(
-        "MOONDREAM_DEVICE_PREPROCESS", "1"
-    ).lower() not in ("0", "", "false", "off")
+    return mode() != "off"
 
 _SUPPORT = 3.0
 PRECISION_BITS = 22  # Pillow 8bpc fixed point: 32 - 8 - 2

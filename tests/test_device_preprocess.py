@@ -135,7 +135,7 @@ def test_encode_images_device_path_identical(monkeypatch):
     ]
     monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "0")
     host_encs = model.encode_images(images)
-    monkeypatch.delenv("MOONDREAM_DEVICE_PREPROCESS")
+    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "eager")
     dev_encs = model.encode_images(images)
     for he, de in zip(host_encs, dev_encs):
         np.testing.assert_array_equal(np.asarray(he.k), np.asarray(de.k))
@@ -156,7 +156,43 @@ def test_encode_image_device_path_identical(monkeypatch):
 
     monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "0")
     host_emb = np.asarray(model._run_vision_encoder(image), np.float32)
-    monkeypatch.delenv("MOONDREAM_DEVICE_PREPROCESS")
+    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "eager")
     dev_emb = np.asarray(model._run_vision_encoder(image), np.float32)
     assert dev_emb.shape == host_emb.shape
+    np.testing.assert_array_equal(dev_emb, host_emb)
+
+
+def test_adaptive_routing_warms_then_routes_device(monkeypatch):
+    """Default (adaptive) mode: the first image of a new shape takes the
+    host path while a background thread warms the device crop graph; once
+    warm, the same shape routes on-device. Outputs are bit-identical
+    either way."""
+    import time
+
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models.moondream import MoondreamModel
+    from moondream_tpu.tokenizer import ByteTokenizer
+
+    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "adaptive")
+    model = MoondreamModel(tiny_test_config(), tokenizer=ByteTokenizer(), seed=0)
+    rng = np.random.default_rng(7)
+    image = Image.fromarray(rng.integers(0, 255, (120, 160, 3), np.uint8))
+
+    prepped = model._prep_crop_groups([image])
+    assert prepped[0][0].ndim == 4  # first sight: host crop stack
+    deadline = time.monotonic() + 60.0
+    while time.monotonic() < deadline:
+        with model._devpre_lock:
+            if model._devpre_ready:
+                break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("device crop graph never warmed")
+    prepped2 = model._prep_crop_groups([image])
+    assert prepped2[0][0].ndim == 3  # warm: raw image routed on-device
+
+    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "eager")
+    dev_emb = np.asarray(model._run_vision_encoder(image), np.float32)
+    monkeypatch.setenv("MOONDREAM_DEVICE_PREPROCESS", "0")
+    host_emb = np.asarray(model._run_vision_encoder(image), np.float32)
     np.testing.assert_array_equal(dev_emb, host_emb)
