@@ -44,25 +44,32 @@ def log(*a):
 
 HEALTHY_TFS = 80.0
 
-# Configs ordered by SCORING VALUE (round-3 verdict #1): the headline
-# candidates and p50 run first so a driver kill at any point still leaves
-# the important numbers in the last-printed aggregate line. B=12 int4+kv8
-# cells (verdict #2) compare like-for-like against bf16 B=12; the B=16
-# cells are kept last as the legacy comparison.
+# Configs ordered by SCORING VALUE (round-4 verdict #1): `headline_ab`
+# interleaves ALL FOUR headline candidates A/B/A/B inside one probe
+# window (round-4 verdict #2: serial per-config runs showed a 30% swing
+# on bf16-spec across two healthy windows, so serial measurement cannot
+# rank configs), then `single` (p50 — half the north star, driver-
+# invisible since round 2) and `serving_full`. The legacy B=16 cells and
+# the isolate-one-variable B=12 cells remain runnable via --configs but
+# are out of the default order: the driver window (~1800s) fits ~4-6
+# configs and these were all measured in BENCH_r02-r04/BASELINE.md.
 CONFIG_ORDER = [
-    "spec_pipelined_bf16",
-    "int8w_spec_pipelined_b12",
-    "int4kv8_spec_pipelined_b12",
+    "headline_ab",
     "single",
-    "pipelined_bf16",
-    "int4kv8_pipelined_b12",
     "serving_full",
+    "int4kv8_spec_pipelined_b12",
+    "int4kv8_pipelined_b12",
     "serving_decode",
+    "vit8",
+    "int4_spec_pipelined_b12",
+]
+EXTRA_CONFIGS = [  # runnable via --configs, not in the default order
+    "spec_pipelined_bf16",
+    "pipelined_bf16",
+    "int8w_spec_pipelined_b12",
+    "int8w_pipelined_b12",
     "int4kv8_pipelined",
     "int4kv8_spec_pipelined",
-    "int4_spec_pipelined_b12",
-    "int8w_pipelined_b12",
-    "vit8",
 ]
 BF16_ONLY = ["spec_pipelined_bf16", "single", "pipelined_bf16"]
 
@@ -72,7 +79,7 @@ def parse_args():
     parser.add_argument("--config", default="2b", choices=["2b", "05b"])
     parser.add_argument("--decode-tokens", type=int, default=128,
                         help="decode length per image (typical caption length)")
-    parser.add_argument("--runs", type=int, default=8)
+    parser.add_argument("--runs", type=int, default=5)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--int4", action="store_true",
                         help="(decode-only) serve text weights packed int4")
@@ -102,17 +109,19 @@ def parse_args():
                         help="batch size / slot count for the bf16 "
                              "throughput configs (12 fits v5e-1 HBM "
                              "alongside the bf16 2B weights)")
-    parser.add_argument("--run-config", default=None, choices=CONFIG_ORDER,
+    parser.add_argument("--run-config", default=None,
+                        choices=CONFIG_ORDER + EXTRA_CONFIGS,
                         help="internal: run ONE configuration in this "
                              "process and print its JSON fragment")
     parser.add_argument("--configs", nargs="*", default=None,
                         help="subset of configs to run (default: all)")
-    parser.add_argument("--deadline", type=float, default=3000.0,
+    parser.add_argument("--deadline", type=float, default=1650.0,
                         help="global wall-clock budget (s); remaining "
                              "configs are SKIPPED once it is spent, so the "
                              "aggregate line is always printed well inside "
-                             "the driver's timeout (round-3 BENCH was lost "
-                             "to an unbounded sweep)")
+                             "the driver's timeout (round-4's 3000s default "
+                             "outlived the driver window — rc=124 with the "
+                             "p50 config mid-flight)")
     parser.add_argument("--child-deadline", type=float, default=0.0,
                         help="internal: absolute time.time() at which a "
                              "child must stop measuring and print what "
@@ -123,7 +132,8 @@ def parse_args():
 # --------------------------------------------------------------- orchestrator
 
 
-def aggregate(args, fields, configs_done, configs_skipped):
+def aggregate(args, fields, configs_done, configs_skipped,
+              configs_failed=()):
     """Build the single canonical JSON line from the per-config fields
     gathered SO FAR. Called (and printed) after EVERY config so a driver
     kill at any moment leaves the last stdout line parseable (round-3
@@ -158,6 +168,24 @@ def aggregate(args, fields, configs_done, configs_skipped):
     live = [v for v in candidates if v[0]]
     best, best_config = (max(live, key=lambda t: t[0]) if live
                          else (None, None))
+    # DUAL HEADLINE (round-4 verdict #3): spec acceptance measured on a
+    # tiny LM trained on real prose is 1.1-1.2 tok/row/iter (near break-
+    # even) vs ~2.0 on degenerate random-weight captions, so the best
+    # PLAIN (non-speculative) config is the honest expected-real-
+    # checkpoint number; `value` stays the best measured config overall.
+    plain_candidates = [
+        (fields.get("bf16_images_per_sec"), f"bf16 pipelined B={B}"),
+        (fields.get("int8_b12_images_per_sec"),
+         f"int8 w8a8 pipelined B={B}"),
+        (fields.get("int4_kv8_b12_images_per_sec"),
+         f"int4+kv8 pipelined B={B}"),
+        (fields.get("int4_kv8_b16_images_per_sec"),
+         f"int4+kv8 pipelined B={int4_batch}"),
+    ]
+    plain_live = [v for v in plain_candidates if v[0]]
+    plain_best, plain_config = (
+        max(plain_live, key=lambda t: t[0]) if plain_live else (None, None)
+    )
 
     work = dict(fields)
     hbm_keys = [k for k in work if k.startswith("live_hbm_gb")]
@@ -195,6 +223,17 @@ def aggregate(args, fields, configs_done, configs_skipped):
         "unit": "images/sec",
         "vs_baseline": None,
         "value_config": best_config,
+        "expected_real_checkpoint_images_per_sec": (
+            round(plain_best, 4) if plain_best else None
+        ),
+        "expected_real_checkpoint_config": plain_config,
+        "headline_policy": (
+            "value = best measured config (random weights; spec configs "
+            "are exact greedy but acceptance is inflated by degenerate "
+            "repetition); expected_real_checkpoint_* = best PLAIN config "
+            "(spec is ~break-even at the 1.1-1.2 tok/row/iter acceptance "
+            "measured on realistic text, tools/spec_accept_realistic.py)"
+        ),
         "batch": B,
         "int4_batch": int4_batch,
         "pipelined": True,
@@ -207,6 +246,7 @@ def aggregate(args, fields, configs_done, configs_skipped):
         "peak_live_hbm_gb": peak_live,
         "configs_done": configs_done,
         "configs_skipped": configs_skipped,
+        "configs_failed": list(configs_failed),
         "health_policy": (
             "per-config subprocess isolation; probe-bracketed reps; "
             f"median of healthy (>= {HEALTHY_TFS:.0f} TF/s pre+post)"
@@ -235,7 +275,7 @@ def orchestrate(args):
         "--int4-batch", str(args.int4_batch),
     ]
     fields = {}
-    done, skipped = [], []
+    done, skipped, failed = [], [], []
     for idx, name in enumerate(names):
         remaining = args.deadline - (time.time() - t_start)
         if remaining < 240:
@@ -273,19 +313,27 @@ def orchestrate(args):
         except Exception as e:
             log(f"config {name} FAILED ({type(e).__name__}: {e}); "
                 "fields stay null")
+        contributed = False
         for ln in out_text.strip().splitlines():
             ln = ln.strip()
             if ln.startswith("{"):
                 try:
                     fields.update(json.loads(ln))
+                    contributed = True
                 except json.JSONDecodeError:
                     pass
-        done.append(name)
+        # a config counts as DONE only when it printed at least one
+        # parseable fragment — a crashed/timed-out child that measured
+        # nothing goes to configs_failed so the canonical record
+        # distinguishes measured from attempted (round-4 advisor)
+        (done if contributed else failed).append(name)
         # cumulative aggregate after EVERY config: the LAST stdout line is
         # always a complete, valid record of everything measured so far
-        print(json.dumps(aggregate(args, fields, list(done), [])), flush=True)
+        print(json.dumps(
+            aggregate(args, fields, list(done), [], list(failed))
+        ), flush=True)
 
-    final = aggregate(args, fields, done, list(skipped))
+    final = aggregate(args, fields, done, list(skipped), list(failed))
     if final["value"] is None:
         log("WARNING: no throughput config produced a number")
     print(json.dumps(final), flush=True)
@@ -717,9 +765,111 @@ def child_main(args):
             assert len(out) == len(stream)
             return len(stream) / dt
 
-        return run_healthy(one_stream, f"pipelined B={B}{tag}", want=3, max_tries=5)
+        # want=2 (was 3): round-over-round variance is characterized
+        # (BASELINE.md r2-r4) and the headline ranking now comes from the
+        # interleaved headline_ab child, so standalone stream cells are
+        # corroboration, not the ranking source (round-4 verdict #1c)
+        return run_healthy(one_stream, f"pipelined B={B}{tag}", want=2,
+                           max_tries=4)
 
-    if name == "pipelined_bf16":
+    if name == "headline_ab":
+        # INTERLEAVED headline ranking (round-4 verdict #2/#3): serial
+        # per-config subprocesses put each candidate in its own chip
+        # window, and the time-shared chip drifts enough between healthy
+        # windows (bf16-spec read 5.78 in one, 4.04 in another — 30%)
+        # that serial medians cannot rank configs. Here the four headline
+        # candidates share ONE window, interleaved A/B/C/D per round, and
+        # every rep's probe brackets land in the artifact
+        # (headline_ab_reps) so window drift is visible, not invisible.
+        # The int8 w8a8 arms swap ONLY model.params['text'] (dispatch
+        # reads params at call time; bf16 KV in both, so the two spec
+        # arms share the pipeline's compiled graphs per params-pytree and
+        # its KV pool). plain_int8w is the never-measured expected-real-
+        # checkpoint candidate (round-4 verdict #3).
+        from moondream_tpu.engine.pipeline import BatchPipeline
+        from moondream_tpu.models.text import quantize_text_params_int8
+
+        B = args.batch
+        text_bf16 = model.params["text"]
+        text_int8 = quantize_text_params_int8(text_bf16)
+        jax.block_until_ready(text_int8["wte"])
+        pipe_spec = BatchPipeline(model, batch_size=B, eos_id=-1,
+                                  speculative=8)
+        pipe_plain = BatchPipeline(model, batch_size=B, eos_id=-1)
+        base = [
+            Image.fromarray(
+                rng.integers(0, 255, size=(1080, 1440, 3), dtype=np.uint8)
+            )
+            for _ in range(B)
+        ]
+        stream = [base[i % B] for i in range(B * 4)]
+        arms = [
+            ("spec_bf16", pipe_spec, text_bf16,
+             "spec_pipelined_bf16_images_per_sec"),
+            ("spec_int8w", pipe_spec, text_int8,
+             "spec_pipelined_int8_b12_images_per_sec"),
+            ("plain_int8w", pipe_plain, text_int8,
+             "int8_b12_images_per_sec"),
+            ("plain_bf16", pipe_plain, text_bf16,
+             "bf16_images_per_sec"),
+        ]
+
+        def set_text(params):
+            model.params = {**model.params, "text": params}
+
+        for tag, pipe, params, _ in arms:
+            if time_left() < 90:
+                log(f"[headline_ab] budget spent before warming {tag}")
+                break
+            log(f"[headline_ab] warmup/compile {tag}...")
+            set_text(params)
+            pipe.caption(base, settings=settings)
+            emit()  # keep the parent's fragment trail alive during warms
+
+        reps = []
+        healthy = {tag: [] for tag, _, _, _ in arms}
+        everything = {tag: [] for tag, _, _, _ in arms}
+        for rnd in range(4):
+            if time_left() < 90:
+                break
+            for tag, pipe, params, key in arms:
+                if time_left() < 60:
+                    break
+                set_text(params)
+                pre = probe_tfs()
+                t0 = time.perf_counter()
+                out = pipe.caption(stream, settings=settings)
+                dt = time.perf_counter() - t0
+                assert len(out) == len(stream)
+                ips = len(stream) / dt
+                post = probe_tfs()
+                ok = pre >= HEALTHY_TFS and post >= HEALTHY_TFS
+                reps.append({
+                    "arm": tag, "round": rnd,
+                    "images_per_sec": round(ips, 4),
+                    "pre_tfs": round(pre, 1), "post_tfs": round(post, 1),
+                    "healthy": ok,
+                })
+                everything[tag].append(ips)
+                if ok:
+                    healthy[tag].append(ips)
+                log(f"[headline_ab] round {rnd} {tag}: {ips:.4g} img/s "
+                    f"(probe {pre:.0f}/{post:.0f} TF/s, "
+                    f"{'healthy' if ok else 'DEGRADED'})")
+            fields["headline_ab_reps"] = reps
+            for tag, _, _, key in arms:
+                vals = healthy[tag] or everything[tag]
+                if vals:
+                    fields[key] = round(
+                        float(np.median(healthy[tag])) if healthy[tag]
+                        else max(everything[tag]), 4
+                    )
+            fields["live_hbm_gb_headline_ab"] = live_hbm_gb()
+            emit()
+            if min((len(healthy[t]) for t in healthy), default=0) >= 2:
+                break  # every arm has >= 2 healthy interleaved reps
+        set_text(text_bf16)
+    elif name == "pipelined_bf16":
         fields["bf16_images_per_sec"] = round(
             run_pipelined(args.batch, ""), 4
         )
@@ -914,9 +1064,18 @@ def child_main(args):
             thr = threading.Thread(target=producer, daemon=True)
             t_sub, lat = {}, {}
             t0 = time.perf_counter()
+            # hard wall per rep: if the engine ever drops a request (rid
+            # never returned by step()) the loop must not spin until the
+            # parent SIGTERMs the child — bound it and report partials
+            # (round-4 advisor)
+            rep_wall = min(300.0, max(60.0, time_left() - 30.0))
             thr.start()
             ready = []
             while len(lat) < total:
+                if time.perf_counter() - t0 > rep_wall:
+                    log(f"[serving_full] rep wall ({rep_wall:.0f}s) hit "
+                        f"with {len(lat)}/{total} done; reporting partial")
+                    break
                 # drain prepared requests; BLOCK when the pool would
                 # otherwise spin idle (busy-waiting would starve the
                 # producer on this 1-core host)
@@ -944,6 +1103,9 @@ def child_main(args):
             thr.join(timeout=10)
             dt = time.perf_counter() - t0
             tokens = sum(eng.token_counts.get(r, 0) for r in lat)
+            if not lat:
+                log("[serving_full] rep completed 0 requests")
+                return 0.0
             ms = sorted(1000 * v for v in lat.values())
             tps = tokens / dt
             stats_reps.append({

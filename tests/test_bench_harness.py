@@ -91,11 +91,38 @@ def test_every_config_name_has_a_child_branch():
     import inspect
 
     src = inspect.getsource(bench.child_main)
-    for name in bench.CONFIG_ORDER:
+    for name in bench.CONFIG_ORDER + bench.EXTRA_CONFIGS:
         assert f'"{name}"' in src, (
             f"config {name!r} is in CONFIG_ORDER but never matched in "
             "child_main"
         )
+
+
+def test_aggregate_dual_headline_policy():
+    """`value` = best measured config overall (spec allowed);
+    expected_real_checkpoint_* = best PLAIN config (round-4 verdict #3:
+    spec acceptance on realistic text is ~break-even, so the plain cell
+    is the honest real-checkpoint expectation)."""
+    fields = {
+        "spec_pipelined_int8_b12_images_per_sec": 5.37,
+        "spec_pipelined_bf16_images_per_sec": 4.04,
+        "int8_b12_images_per_sec": 4.6,
+        "bf16_images_per_sec": 3.4,
+    }
+    out = bench.aggregate(_args(), fields, ["headline_ab"], [])
+    assert out["value"] == 5.37
+    assert "int8 w8a8 spec" in out["value_config"]
+    assert out["expected_real_checkpoint_images_per_sec"] == 4.6
+    assert "int8 w8a8 pipelined" in out["expected_real_checkpoint_config"]
+    assert "spec" not in out["expected_real_checkpoint_config"]
+    assert "headline_policy" in out
+
+
+def test_aggregate_records_failed_configs():
+    out = bench.aggregate(_args(), {}, ["headline_ab"], ["rest"],
+                          ["serving_full"])
+    assert out["configs_failed"] == ["serving_full"]
+    json.dumps(out)
 
 
 def test_fragment_parsing_contract():
@@ -120,8 +147,16 @@ def test_fragment_parsing_contract():
     }
 
 
-@pytest.mark.parametrize("skip_int4", [False, True])
-def test_config_order_headline_first(skip_int4):
-    names = bench.BF16_ONLY if skip_int4 else bench.CONFIG_ORDER
-    # the round-3 lesson: the scored headline candidate must run FIRST
-    assert names[0] == "spec_pipelined_bf16"
+def test_config_order_headline_then_p50():
+    # round-4 lesson: the interleaved headline ranking runs FIRST, and
+    # p50 (`single`) — half the north star, driver-invisible since
+    # round 2 — must be SECOND so a driver kill after two configs still
+    # records the complete scored set
+    assert bench.CONFIG_ORDER[0] == "headline_ab"
+    assert bench.CONFIG_ORDER[1] == "single"
+    assert bench.CONFIG_ORDER[2] == "serving_full"
+    assert bench.BF16_ONLY[0] == "spec_pipelined_bf16"
+    # legacy B=16 cells are out of the default driver order
+    for legacy in ("int4kv8_pipelined", "int4kv8_spec_pipelined"):
+        assert legacy not in bench.CONFIG_ORDER
+        assert legacy in bench.EXTRA_CONFIGS
