@@ -12,11 +12,13 @@ sequential per-frame `detect()` loop.
 from .video import VideoSource, VideoSink, video_io, sample_frames  # noqa: F401
 from .tracker import IoUTracker, Track  # noqa: F401
 from .overlay import (  # noqa: F401
+    REGION_STYLES,
+    apply_style,
+    color_cycle,
     draw_boxes,
     draw_gaze,
     draw_hitmarker,
     pixelate_regions,
-    color_cycle,
 )
 from .persistence import save_detection_data, load_detection_data  # noqa: F401
 from .tiling import split_into_tiles, tile_box_to_frame, merge_tile_boxes  # noqa: F401

@@ -13,9 +13,18 @@ visualization.py role).
 Usage:
   python -m recipes.promptable_content_moderation --input in.mp4 \
       --detect "cigarette" --model model.safetensors \
-      [--style censor|pixelate|bounding-box] [--every-n 3] \
+      [--style censor|mask-censor|fuzzy-blur|obfuscated-pixel|...] \
+      [--every-n 3] \
       [--save-detections d.json | --load-detections d.json] \
-      [--visualize d.json]
+      [--visualize d.json] [--analyze d.json] [--timeline-video d.json]
+
+Styles: the reference's full surface (censor, bounding-box, hitmarker,
+fuzzy-blur, pixelated-blur, intense-pixelated-blur, obfuscated-pixel) plus
+mask-shaped redaction (mask / mask-censor / mask-blur) — see
+recipes/common/overlay.py:REGION_STYLES. `--analyze` writes the 8-plot
+analysis suite + stats (reference app.py:119-369); `--timeline-video`
+renders the animated playhead timeline (reference video_visualization.py),
+composited under the source frames when --input is also given.
 """
 
 from __future__ import annotations
@@ -28,21 +37,19 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from recipes.common import (  # noqa: E402
+    REGION_STYLES as STYLES,  # noqa: F401 - full style surface (overlay.py)
     IoUTracker,
     VideoSink,
     VideoSource,
-    draw_boxes,
+    apply_style,
     load_detection_data,
-    pixelate_regions,
     save_detection_data,
 )
-from recipes.common.overlay import blackout_regions, color_cycle  # noqa: E402
+from recipes.common.overlay import color_cycle  # noqa: E402
 from recipes.common.pipeline import detect_frames  # noqa: E402
 from recipes.common.tiling import filter_temporal_outliers  # noqa: E402
 from recipes.common.video import scene_cut  # noqa: E402
 from recipes.gaze_detection_video import load_model  # noqa: E402
-
-STYLES = ("censor", "pixelate", "bounding-box")
 
 
 def process_video(
@@ -97,6 +104,12 @@ def process_video(
                     "video": os.path.basename(input_path),
                     "keyword": keyword,
                     "every_n": every_n,
+                    "video_metadata": {
+                        "fps": src.props.fps,
+                        "width": src.props.width,
+                        "height": src.props.height,
+                        "n_frames": len(frames),
+                    },
                     "detections": {
                         int(i): [list(b) for b in bs]
                         for i, bs in zip(sampled_idx, sampled_boxes)
@@ -128,17 +141,11 @@ def process_video(
             ]
         boxes = [t.box for t in active]
         timeline[f] = len(boxes)
-        if style == "censor":
-            out = blackout_regions(frame, boxes)
-        elif style == "pixelate":
-            out = pixelate_regions(frame, boxes)
-        else:
-            out = draw_boxes(
-                frame, boxes,
-                labels=[f"{keyword} #{t.track_id}" for t in active],
-                colors=[color_cycle(t.track_id) for t in active],
-            )
-        sink.write(out)
+        sink.write(apply_style(
+            frame, boxes, style,
+            labels=[f"{keyword} #{t.track_id}" for t in active],
+            colors=[color_cycle(t.track_id) for t in active],
+        ))
     sink.release()
 
     stats = {
@@ -199,13 +206,40 @@ def main():
     p.add_argument("--load-detections", default="")
     p.add_argument("--visualize", default="",
                    help="plot a saved detection JSON instead of processing")
+    p.add_argument("--analyze", default="",
+                   help="write the 8-plot analysis suite + stats for a "
+                        "saved detection JSON and exit")
+    p.add_argument("--timeline-video", default="",
+                   help="render the animated timeline video for a saved "
+                        "detection JSON and exit (composites the source "
+                        "frames when --input is also given)")
     args = p.parse_args()
 
     if args.visualize:
         visualize_detections(args.visualize)
         return
+    if args.analyze:
+        from recipes.common.analysis import (
+            analysis_plots, format_stats, stats_summary,
+        )
+
+        out_dir = os.path.splitext(args.analyze)[0] + "_analysis"
+        paths = analysis_plots(args.analyze, out_dir)
+        print("\n".join(paths))
+        print(format_stats(stats_summary(args.analyze)))
+        return
+    if args.timeline_video:
+        from recipes.common.analysis import render_timeline_video
+
+        out = os.path.splitext(args.timeline_video)[0] + "_timeline.mp4"
+        render_timeline_video(
+            args.timeline_video, out, source_video=args.input or None
+        )
+        print(f"wrote {out}")
+        return
     if not args.input:
-        p.error("--input is required unless --visualize is given")
+        p.error("--input is required unless --visualize/--analyze/"
+                "--timeline-video is given")
 
     from recipes.promptable_video_redaction import parse_grid
 

@@ -11,8 +11,15 @@ frames. Drawing is direct cv2 (no matplotlib round-trip).
 Usage:
   python -m recipes.promptable_video_redaction --input in.mp4 \
       --detect "license plate" --model model.safetensors \
-      [--style censor|pixelate|bounding-box|hitmarker] [--grid 2x2] \
-      [--every-n 3] [--save-detections d.json | --load-detections d.json]
+      [--style censor|mask-censor|fuzzy-blur|obfuscated-pixel|...] \
+      [--grid 2x2] [--every-n 3] \
+      [--save-detections d.json | --load-detections d.json]
+
+Styles cover the reference's full censoring surface (censor, bounding-box,
+hitmarker, fuzzy-blur, pixelated-blur, intense-pixelated-blur,
+obfuscated-pixel) plus mask-shaped redaction (mask / mask-censor /
+mask-blur — soft object-silhouette fills, the SAM-overlay role without a
+segmentation model). See recipes/common/overlay.py:REGION_STYLES.
 """
 
 from __future__ import annotations
@@ -25,31 +32,20 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from recipes.common import (  # noqa: E402
+    REGION_STYLES as STYLES,  # noqa: F401 - full style surface (overlay.py)
     VideoSink,
     VideoSource,
-    draw_boxes,
-    draw_hitmarker,
+    apply_style,
     load_detection_data,
-    pixelate_regions,
     save_detection_data,
 )
-from recipes.common.overlay import blackout_regions  # noqa: E402
 from recipes.common.pipeline import detect_frames, spread_detections  # noqa: E402
 from recipes.common.tiling import filter_temporal_outliers  # noqa: E402
 from recipes.gaze_detection_video import load_model  # noqa: E402
 
-STYLES = ("censor", "pixelate", "bounding-box", "hitmarker")
-
 
 def render(frame, boxes, style: str, label: str):
-    if style == "censor":
-        return blackout_regions(frame, boxes)
-    if style == "pixelate":
-        return pixelate_regions(frame, boxes)
-    if style == "hitmarker":
-        centers = [((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b in boxes]
-        return draw_hitmarker(frame, centers)
-    return draw_boxes(frame, boxes, labels=[label] * len(boxes))
+    return apply_style(frame, boxes, style, labels=[label] * len(boxes))
 
 
 def parse_grid(s: str):
@@ -118,6 +114,12 @@ def process_video(
                     "keyword": keyword,
                     "grid": list(grid),
                     "every_n": every_n,
+                    "video_metadata": {
+                        "fps": src.props.fps,
+                        "width": src.props.width,
+                        "height": src.props.height,
+                        "n_frames": len(frames),
+                    },
                     "detections": {
                         int(i): [list(b) for b in bs]
                         for i, bs in zip(sampled_idx, sampled_boxes)
