@@ -492,13 +492,29 @@ def child_main(args):
         model._kv_pool.clear()
         log("text weights quantized to runtime int8 (w8a8, native MXU)")
     if name == "vit8":
-        from moondream_tpu.models.vision import quantize_vision_params
+        from moondream_tpu.models.vision import (
+            collect_vision_act_stats, quantize_vision_params,
+        )
 
+        # statically calibrated activation scales (round-4 verdict #4):
+        # per-channel amax observed on 16 bench-distribution crops, no
+        # runtime amax reduction passes (the cost that made dynamic int8
+        # break even with bf16 — BASELINE.md round-3)
+        cal = jax.random.uniform(
+            jax.random.PRNGKey(7),
+            (16, config.vision.crop_size, config.vision.crop_size, 3),
+            jnp.bfloat16, -1.0, 1.0,
+        )
+        stats = collect_vision_act_stats(
+            cal, model.params["vision"], config.vision
+        )
         model.params = {
             **model.params,
-            "vision": quantize_vision_params(model.params["vision"]),
+            "vision": quantize_vision_params(
+                model.params["vision"], act_stats=stats
+            ),
         }
-        log("vision block matmuls quantized to int8")
+        log("vision block matmuls quantized to int8 (static act scales)")
     jax.block_until_ready(model.params["text"]["wte"])
     log(f"init: {time.perf_counter() - t0:.1f}s")
 

@@ -80,18 +80,43 @@ def _images(n: int = 6, seed: int = 0) -> List["object"]:
 
 
 def vision_projection_drift(
-    model, images: Optional[list] = None
+    model, images: Optional[list] = None, static: bool = False
 ) -> Dict[str, float]:
     """int8-ViT drift of the projected image embeddings vs the model's
     own bf16 vision params, per image; returns max/mean absolute error,
     relative L2, and the bf16 embedding scale for context. The model must
-    hold DENSE (bf16) vision params; the quantized twin is derived here."""
+    hold DENSE (bf16) vision params; the quantized twin is derived here.
+
+    With `static`, the quantized twin uses statically calibrated
+    activation scales (models.vision.collect_vision_act_stats +
+    quantize_vision_params(act_stats=...)); calibration runs on a
+    DISJOINT synthetic corpus (seed 1) so the gate is not self-calibrated
+    on its measurement images."""
     from ..models.vision import quantize_vision_params
 
     if "blocks" not in model.params["vision"]:
         raise ValueError("model already holds quantized vision params; "
                          "run drift from the bf16 model")
-    vq = quantize_vision_params(model.params["vision"])
+    if static:
+        import jax.numpy as jnp
+
+        from ..models.vision import collect_vision_act_stats
+        from ..ops.image_crops import overlap_crop_image
+
+        cfg = model.config.vision
+        cal = np.concatenate([
+            overlap_crop_image(
+                np.asarray(im.convert("RGB")),
+                overlap_margin=cfg.overlap_margin, max_crops=cfg.max_crops,
+            )["crops"]
+            for im in _images(6, seed=1)
+        ])
+        stats = collect_vision_act_stats(
+            jnp.asarray(cal), model.params["vision"], cfg
+        )
+        vq = quantize_vision_params(model.params["vision"], act_stats=stats)
+    else:
+        vq = quantize_vision_params(model.params["vision"])
 
     images = images if images is not None else _images()
     abs_errs, rel_l2s, scales = [], [], []
@@ -182,6 +207,9 @@ def main():
                          "without real weights)")
     ap.add_argument("--config", default="2b", choices=["2b", "05b"])
     ap.add_argument("--vit8", action="store_true")
+    ap.add_argument("--vit8-static", action="store_true",
+                    help="int8 ViT with statically calibrated activation "
+                         "scales (collect_vision_act_stats)")
     ap.add_argument("--int4", action="store_true")
     ap.add_argument("--int8-text", action="store_true",
                     help="int8 w8a8 text blocks "
@@ -208,10 +236,13 @@ def main():
     model = MoondreamModel(config, params=params, tokenizer=tok, seed=0)
 
     report = {}
-    if args.vit8:
-        report.update(vision_projection_drift(model))
+    if args.vit8 or args.vit8_static:
+        report.update(
+            vision_projection_drift(model, static=args.vit8_static)
+        )
 
-    if args.vit8 or args.int4 or args.int8_text or args.kv8:
+    if args.vit8 or args.vit8_static or args.int4 or args.int8_text \
+            or args.kv8:
         qcfg = config
         if args.kv8:
             qcfg = dataclasses.replace(
@@ -226,10 +257,31 @@ def main():
             from ..models.text import quantize_text_params_int8
 
             qparams["text"] = quantize_text_params_int8(qparams["text"])
-        if args.vit8:
-            from ..models.vision import quantize_vision_params
+        if args.vit8 or args.vit8_static:
+            import jax.numpy as jnp
 
-            qparams["vision"] = quantize_vision_params(qparams["vision"])
+            from ..models.vision import (
+                collect_vision_act_stats, quantize_vision_params,
+            )
+            from ..ops.image_crops import overlap_crop_image
+
+            stats = None
+            if args.vit8_static:
+                vcfg = config.vision
+                cal = np.concatenate([
+                    overlap_crop_image(
+                        np.asarray(im.convert("RGB")),
+                        overlap_margin=vcfg.overlap_margin,
+                        max_crops=vcfg.max_crops,
+                    )["crops"]
+                    for im in _images(6, seed=1)
+                ])
+                stats = collect_vision_act_stats(
+                    jnp.asarray(cal), qparams["vision"], vcfg
+                )
+            qparams["vision"] = quantize_vision_params(
+                qparams["vision"], act_stats=stats
+            )
         model_q = MoondreamModel(qcfg, params=qparams, tokenizer=tok)
         report.update(
             caption_agreement(model, model_q, max_tokens=args.max_tokens)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VisionConfig
-from ..ops.layers import attn, layer_norm, linear, mlp
+from ..ops.layers import attn_core, gelu_approx, layer_norm, linear, mlp
 
 
 def create_patches(x: jax.Array, patch_size: int) -> jax.Array:
@@ -66,43 +66,134 @@ def vision_encoder(crops_bhwc: jax.Array, w: dict, config: VisionConfig) -> jax.
         x = jnp.pad(x, ((0, 0), (0, t_pad - n_real), (0, 0)))
 
     def block(h, bw):
-        h = h + attn(
-            layer_norm(h, bw["ln1"]), bw["attn"], config.enc_n_heads,
-            n_real=n_real,
-        )
-        h = h + mlp(layer_norm(h, bw["ln2"]), bw["mlp"])
-        return h, None
+        return _encoder_block(h, bw, config.enc_n_heads, n_real), None
 
     x, _ = jax.lax.scan(block, x, w.get("blocks_q") or w["blocks"])
     return layer_norm(x[:, :n_real], w["post_ln"])
 
 
-def quantize_vision_params(w: dict) -> dict:
+def _encoder_block(h, bw, n_heads: int, n_real: int, capture: bool = False):
+    """One pre-LN ViT block. With `capture`, also returns the per-channel
+    abs-max of each quantized matmul's INPUT over the real tokens — the
+    observation record for static activation calibration. One body serves
+    both the encoder scan and the calibration scan so the two can't drift."""
+    a_qkv = layer_norm(h, bw["ln1"])
+    core = attn_core(a_qkv, bw["attn"], n_heads, n_real=n_real)
+    h = h + linear(core, bw["attn"]["proj"])
+    a_fc1 = layer_norm(h, bw["ln2"])
+    hid = gelu_approx(linear(a_fc1, bw["mlp"]["fc1"]))
+    h = h + linear(hid, bw["mlp"]["fc2"])
+    if not capture:
+        return h
+    def amax(t):
+        return jnp.max(jnp.abs(t[:, :n_real].astype(jnp.float32)), axis=(0, 1))
+    return h, {"qkv": amax(a_qkv), "proj": amax(core),
+               "fc1": amax(a_fc1), "fc2": amax(hid)}
+
+
+def collect_vision_act_stats(
+    crops_bhwc: jax.Array, w: dict, config: VisionConfig, chunk: int = 16
+) -> dict:
+    """Per-layer, per-input-channel activation abs-max for the four ViT
+    block matmuls (qkv/proj/fc1/fc2 inputs), observed by running the bf16
+    encoder over calibration crops. Feeds
+    `quantize_vision_params(act_stats=...)`. Returns
+    {"qkv"|"proj"|"fc1"|"fc2": fp32 (n_layers, in_dim)}."""
+
+    @jax.jit
+    def run(x):
+        x = create_patches(x, config.enc_patch_size)
+        x = linear(x, w["patch_emb"])
+        x = x + w["pos_emb"]
+        n_real = x.shape[1]
+        t_pad = -(-n_real // 128) * 128
+        if t_pad != n_real:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - n_real), (0, 0)))
+
+        def block(h, bw):
+            return _encoder_block(
+                h, bw, config.enc_n_heads, n_real, capture=True
+            )
+
+        _, stats = jax.lax.scan(block, x, w["blocks"])
+        return stats
+
+    merged = None
+    n = crops_bhwc.shape[0]
+    if n > chunk:  # keep one compiled chunk shape; drop the ragged tail
+        n = (n // chunk) * chunk
+    for i in range(0, n, chunk):
+        s = run(crops_bhwc[i : i + chunk])
+        merged = s if merged is None else jax.tree.map(jnp.maximum, merged, s)
+    return jax.tree.map(lambda t: np.asarray(t), merged)
+
+
+def quantize_vision_params(
+    w: dict, act_stats: dict | None = None, alpha: float = 0.5
+) -> dict:
     """Per-output-channel symmetric int8 quantization of the ViT block
     matmuls (qkv/proj/fc1/fc2) — the encoder's FLOPs. The MXU's int8 path
     runs at 2x the bf16 rate on v5e (measured 277 vs 151 TF/s), and the
     encoder is compute-bound, so this targets the pipeline's dominant
-    stage. Opt-in serving config (activations are quantized dynamically
-    per row in ops.layers.linear); LN, biases, patch/pos embeddings and
-    the projection MLP stay bf16. Accuracy note: standard PTQ — validate
-    on real checkpoints before production use."""
+    stage. LN, biases, patch/pos embeddings and the projection MLP stay
+    bf16. Accuracy note: standard PTQ — validate with eval/quant_drift.py
+    (and on real checkpoints) before production use.
 
-    def q(lin):
+    Without `act_stats`, activations are quantized DYNAMICALLY per row at
+    runtime (ops.layers.linear) — an extra amax reduction pass over every
+    block input that was measured to eat the entire 2x MXU win
+    (BASELINE.md round-3). With `act_stats` (per-channel activation
+    abs-max from `collect_vision_act_stats`), quantization is STATIC:
+    a SmoothQuant-style per-input-channel equalizer
+    c = amax_act^alpha / amax_w^(1-alpha) migrates activation outliers
+    into the weights offline, the per-tensor activation scale is folded
+    into a single elementwise 'inv_a' multiplier (no runtime reductions),
+    and the output rescale is pre-multiplied into 'scale'."""
+
+    def q(lin, amax_in=None):
         wt = lin["w"].astype(jnp.float32)  # (L, in, out)
+        if amax_in is None:
+            s = jnp.maximum(
+                jnp.max(jnp.abs(wt), axis=1, keepdims=True) / 127.0, 1e-8
+            )
+            codes = jnp.round(wt / s).astype(jnp.int8)
+            return {"wq": codes, "scale": s, "b": lin["b"]}
+        amax_in = jnp.maximum(jnp.asarray(amax_in, jnp.float32), 1e-6)
+        w_amax = jnp.maximum(jnp.max(jnp.abs(wt), axis=2), 1e-6)  # (L, in)
+        c = jnp.clip(
+            amax_in**alpha / w_amax ** (1.0 - alpha), 1e-3, 1e3
+        )  # (L, in)
+        # normalize per layer so the equalizer shifts scale between
+        # activations and weights without changing their joint magnitude
+        c = c / jnp.median(c, axis=1, keepdims=True)
+        wt_eq = wt * c[:, :, None]
         s = jnp.maximum(
-            jnp.max(jnp.abs(wt), axis=1, keepdims=True) / 127.0, 1e-8
-        )
-        codes = jnp.round(wt / s).astype(jnp.int8)
-        return {"wq": codes, "scale": s, "b": lin["b"]}
+            jnp.max(jnp.abs(wt_eq), axis=1, keepdims=True) / 127.0, 1e-8
+        )  # (L, 1, out)
+        codes = jnp.round(wt_eq / s).astype(jnp.int8)
+        a = jnp.max(amax_in / c, axis=1) / 127.0  # (L,) per-tensor act scale
+        return {
+            "wq": codes,
+            "scale": s * a[:, None, None],
+            "inv_a": (1.0 / (c * a[:, None]))[:, None, :],  # (L, 1, in)
+            "b": lin["b"],
+        }
 
     b = w["blocks"]
+    st = act_stats or {}
     return {
         **{k: v for k, v in w.items() if k != "blocks"},
         "blocks_q": {
             "ln1": b["ln1"],
             "ln2": b["ln2"],
-            "attn": {"qkv": q(b["attn"]["qkv"]), "proj": q(b["attn"]["proj"])},
-            "mlp": {"fc1": q(b["mlp"]["fc1"]), "fc2": q(b["mlp"]["fc2"])},
+            "attn": {
+                "qkv": q(b["attn"]["qkv"], st.get("qkv")),
+                "proj": q(b["attn"]["proj"], st.get("proj")),
+            },
+            "mlp": {
+                "fc1": q(b["mlp"]["fc1"], st.get("fc1")),
+                "fc2": q(b["mlp"]["fc2"], st.get("fc2")),
+            },
         },
     }
 

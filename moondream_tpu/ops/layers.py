@@ -42,15 +42,30 @@ def linear(x: jax.Array, w: dict) -> jax.Array:
     'scale': fp32 (1, out)} from models.vision.quantize_vision_params),
     the product runs as int8 x int8 -> int32 — the MXU's int8 path is 2x
     the bf16 rate on v5e — with dynamically quantized activations, then
-    rescales by (row amax/127) * per-channel weight scale."""
+    rescales by (row amax/127) * per-channel weight scale.
+
+    With STATIC activation scales ('inv_a' fp32 (1, in) present, from
+    models.vision.quantize_vision_params(act_stats=...)), the runtime
+    quantization is one fused elementwise multiply+round+clip — no
+    per-row amax reduction pass over the activation plane (the cost that
+    made dynamic int8 break even with bf16 end-to-end, BASELINE.md
+    round-3 findings); the per-tensor activation scale and any
+    per-channel equalizer are folded into 'inv_a' and 'scale' offline."""
     if "wq" in w:
-        codes, a = _q8_act(x)
+        if "inv_a" in w:
+            codes = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * w["inv_a"]), -127, 127
+            ).astype(jnp.int8)
+        else:
+            codes, a = _q8_act(x)
         y = jax.lax.dot_general(
             codes, w["wq"],
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        y = y.astype(jnp.float32) * a * w["scale"]
+        y = y.astype(jnp.float32) * w["scale"]
+        if "inv_a" not in w:
+            y = y * a
         if w.get("b") is not None:
             y = y + w["b"].astype(jnp.float32)
         return y.astype(x.dtype)
@@ -145,6 +160,15 @@ def attn(
     real token count — rows attend only cols < n_real, so dead tokens never
     leak into real ones, and the kernel keeps its row-independent-mask fast
     path."""
+    return linear(attn_core(x, w, n_heads, n_real), w["proj"])
+
+
+def attn_core(
+    x: jax.Array, w: dict, n_heads: int, n_real: Optional[int] = None
+) -> jax.Array:
+    """The attention body up to (but excluding) the output projection —
+    split out so calibration can observe the projection's input
+    (models.vision.collect_vision_act_stats)."""
     from .attention import attention
 
     bsz, seq, d_model = x.shape
@@ -158,5 +182,4 @@ def attn(
 
     prefix = seq if n_real is None else n_real
     out = attention(q, k, v, pos=0, prefix=prefix, real_rows=prefix)
-    out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, d_model)
-    return linear(out, w["proj"])
+    return out.transpose(0, 2, 1, 3).reshape(bsz, seq, d_model)

@@ -149,6 +149,61 @@ def test_int8_vision_encoder_close_to_bf16():
     assert cos.min() > 0.99, cos.min()
 
 
+def test_int8_vision_static_act_scales_close_to_bf16():
+    """Statically calibrated activation scales (collect_vision_act_stats +
+    quantize_vision_params(act_stats=...)): no runtime amax reductions,
+    accuracy comparable to the dynamic per-row path on in-distribution
+    inputs (round-4 verdict #4)."""
+    from moondream_tpu.config import tiny_test_config
+    from moondream_tpu.models.vision import (
+        collect_vision_act_stats,
+        init_vision_params,
+        quantize_vision_params,
+        vision_encoder,
+    )
+
+    cfg = tiny_test_config().vision
+    w = init_vision_params(cfg, jax.random.PRNGKey(0))
+    cal = jax.random.uniform(
+        jax.random.PRNGKey(2),
+        (4, cfg.crop_size, cfg.crop_size, 3),
+        jnp.bfloat16, -1.0, 1.0,
+    )
+    stats = collect_vision_act_stats(cal, w, cfg, chunk=2)
+    assert set(stats) == {"qkv", "proj", "fc1", "fc2"}
+    assert stats["qkv"].shape == (cfg.enc_n_layers, cfg.enc_dim)
+    assert (stats["qkv"] > 0).all()
+
+    ws = quantize_vision_params(w, act_stats=stats)
+    qkv = ws["blocks_q"]["attn"]["qkv"]
+    assert "inv_a" in qkv and qkv["inv_a"].shape == (
+        cfg.enc_n_layers, 1, cfg.enc_dim,
+    )
+
+    # disjoint eval crops (same distribution)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (2, cfg.crop_size, cfg.crop_size, 3),
+        jnp.bfloat16, -1.0, 1.0,
+    )
+    ref = np.asarray(vision_encoder(x, w, cfg), dtype=np.float32)
+    dyn = np.asarray(
+        vision_encoder(x, quantize_vision_params(w), cfg), dtype=np.float32
+    )
+    sta = np.asarray(vision_encoder(x, ws, cfg), dtype=np.float32)
+
+    def cos(a, b):
+        num = (a * b).sum(-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+        return (num / den).min()
+
+    assert cos(ref, sta) > 0.99, cos(ref, sta)
+    # static must not be meaningfully worse than dynamic
+    err_dyn = np.abs(dyn - ref).mean()
+    err_sta = np.abs(sta - ref).mean()
+    assert err_sta < 2.0 * err_dyn + 1e-4, (err_sta, err_dyn)
+
+
 def test_int8_vision_model_end_to_end():
     """Full caption/detect pipeline with an int8-quantized ViT."""
     from PIL import Image
