@@ -18,7 +18,15 @@ if _os.environ.get("JAX_PLATFORMS"):
     try:
         import jax as _jax
 
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        # Keep "cpu" available as a SECONDARY backend (the first entry
+        # stays the default): offline steps like int8 activation-scale
+        # calibration (models.vision.collect_vision_act_stats) run on the
+        # host next to the checkpoint loader, and pinning jax_platforms
+        # to the accelerator alone would make jax.devices("cpu") raise.
+        _plats = _os.environ["JAX_PLATFORMS"]
+        if "cpu" not in _plats.split(","):
+            _plats += ",cpu"
+        _jax.config.update("jax_platforms", _plats)
     except Exception:
         pass
 

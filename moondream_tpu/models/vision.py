@@ -19,7 +19,7 @@ TPU-first design choices (not ports):
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -92,16 +92,46 @@ def _encoder_block(h, bw, n_heads: int, n_real: int, capture: bool = False):
 
 
 def collect_vision_act_stats(
-    crops_bhwc: jax.Array, w: dict, config: VisionConfig, chunk: int = 16
+    crops_bhwc: jax.Array,
+    w: dict,
+    config: VisionConfig,
+    chunk: int = 16,
+    backend: str | None = None,
 ) -> dict:
     """Per-layer, per-input-channel activation abs-max for the four ViT
     block matmuls (qkv/proj/fc1/fc2 inputs), observed by running the bf16
     encoder over calibration crops. Feeds
     `quantize_vision_params(act_stats=...)`. Returns
-    {"qkv"|"proj"|"fc1"|"fc2": fp32 (n_layers, in_dim)}."""
+    {"qkv"|"proj"|"fc1"|"fc2": fp32 (n_layers, in_dim)}.
 
-    @jax.jit
+    `backend` pins the observation run to that JAX backend (e.g. "cpu").
+    Calibration is a one-time OFFLINE step, so the natural place for it
+    is the host, next to the checkpoint loader, before weights ship to
+    the accelerator — host-resident `w` then costs no transfer. Passing
+    device-resident `w` with backend="cpu" pulls the weights D2H first
+    (fine on PCIe; expensive over a tunneled test chip)."""
+    if backend is not None:
+        dev = jax.devices(backend)[0]
+        w = jax.device_put(w, dev)
+        crops_bhwc = jax.device_put(crops_bhwc, dev)
+
+    @partial(jax.jit, backend=backend)
     def run(x):
+        # Trace-time switch: on a CPU observation backend the Pallas
+        # flash kernel cannot lower (interpret-only), so route attention
+        # through the XLA fallback (parity-tested vs the kernel). Scoped
+        # to this trace; the encoder proper is unaffected.
+        import os as _os
+
+        if backend == "cpu":
+            _os.environ["MOONDREAM_DISABLE_PALLAS"] = "1"
+        try:
+            return _run_body(x)
+        finally:
+            if backend == "cpu":
+                _os.environ.pop("MOONDREAM_DISABLE_PALLAS", None)
+
+    def _run_body(x):
         x = create_patches(x, config.enc_patch_size)
         x = linear(x, w["patch_emb"])
         x = x + w["pos_emb"]

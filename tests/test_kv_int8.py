@@ -205,6 +205,7 @@ def test_e2e_caption_query_point(int8_model, image):
     assert isinstance(out["points"], list)
 
 
+@pytest.mark.slow
 def test_e2e_batched_caption(int8_model, image):
     outs = int8_model.caption_batch([image, image], "normal", settings=GREEDY)
     assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
@@ -241,6 +242,7 @@ def test_serving_int8_matches_sequential(int8_model, image):
     assert out[rid] == ref
 
 
+@pytest.mark.slow
 def test_int4_weights_with_int8_cache(image):
     """Runtime-int4 text weights compose with the int8 KV cache (the two
     quantizations are orthogonal: weight blocks vs cache codes). Batched
@@ -277,6 +279,7 @@ def test_int4_weights_with_int8_cache(image):
     assert got == [single, single]
 
 
+@pytest.mark.slow
 def test_sharded_engine_int8_decodes():
     """kv_int8 under a dp x tp mesh: the GQA/sharded path dequantizes
     through XLA (pf == 1) and the scale arrays shard on the head axis."""

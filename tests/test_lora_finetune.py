@@ -176,6 +176,7 @@ def test_merge_variant_matches_lora_forward(text_params):
         lora_mod.merge_variant(quantize_text_params(text_params), lora)
 
 
+@pytest.mark.slow
 def test_finetune_text_cli_lora_smoke(tmp_path):
     """--lora-rank: 2 synthetic samples, adapter saved as a variant and
     loadable through settings={'variant': path} (the serving surface)."""

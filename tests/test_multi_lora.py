@@ -107,6 +107,7 @@ def test_stacked_shapes_and_zero_base(variant_trees):
     assert not np.asarray(stacked["mlp"]["fc1"]["A"][:, 2, 2:]).any()
 
 
+@pytest.mark.slow
 def test_pool_mixes_base_and_two_variants(model, variant_trees, images):
     s = {**GREEDY, "max_tokens": 10}
     ref_base = model.caption(images[0], settings=s)["caption"]
@@ -184,6 +185,7 @@ def test_structured_rows_with_variant(model, variant_trees, tmp_path,
     )["caption"]
 
 
+@pytest.mark.slow
 def test_int4_base_composes_with_variants(variant_trees, images):
     """Per-slot adapters over a runtime-int4 base: the low-rank residual
     adds after the fused dequant matmul, matching the single-stream

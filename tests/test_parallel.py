@@ -1,6 +1,7 @@
 """Mesh/sharding tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +109,7 @@ def test_sequence_parallel_train_step_matches_single_device():
     np.testing.assert_allclose(w1, w2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     """Run the driver's multichip dryrun in a FRESH interpreter, exactly
     as the driver invokes it. dryrun_multichip itself re-execs its work

@@ -62,6 +62,7 @@ def test_sharded_pool_matches_single_device(base_model, images):
     assert "dp" in spec and "tp" in spec
 
 
+@pytest.mark.slow
 def test_sharded_pool_staggered_and_vqa(base_model, images):
     """Staggered admission + mixed caption/VQA through the sharded pool:
     slot writes at different times recompose correctly across the dp
@@ -97,6 +98,7 @@ def test_sharded_pool_validation(base_model):
         make_sharded_serving_engine(pallas_model, mesh, n_slots=4)
 
 
+@pytest.mark.slow
 def test_http_frontend_over_sharded_pool(base_model, images):
     """The HTTP server's --tp path: ServingFrontend(mesh=...) serves
     concurrent requests through the SPMD pool with outputs matching the
@@ -154,6 +156,7 @@ def test_http_frontend_over_sharded_pool(base_model, images):
         frontend.shutdown()
 
 
+@pytest.mark.slow
 def test_sharded_pool_with_speculation(base_model, images):
     """Speculative chunks (n-gram drafts + ragged span verify) compose
     with the sharded pool: greedy outputs stay byte-identical to the
@@ -174,6 +177,7 @@ def test_sharded_pool_with_speculation(base_model, images):
         assert out[i] == ref[r]
 
 
+@pytest.mark.slow
 def test_sharded_vision_encoder_bit_exact(base_model, images):
     """shard_map ViT over all 8 devices: per-crop math is
     batch-independent, so the sharded encoder's features — and therefore
@@ -215,6 +219,7 @@ def test_sharded_vision_encoder_bit_exact(base_model, images):
     assert out[rid] == ref_eng.drain()[r]
 
 
+@pytest.mark.slow
 def test_sharded_pool_with_variants(base_model, images):
     """Per-slot LoRA adapters through the tp-sharded pool: the stacked
     factors and (S,) vids ride the SPMD chunk as replicated inputs, so

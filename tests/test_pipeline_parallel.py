@@ -55,7 +55,9 @@ def _batch(B=8, T=16):
 
 @pytest.mark.parametrize(
     "axes,microbatches",
-    [({"pp": 2, "dp": 2}, 2), ({"pp": 4, "dp": 1}, 4), ({"pp": 2, "dp": 1}, 1)],
+    [pytest.param({"pp": 2, "dp": 2}, 2, marks=pytest.mark.slow),
+     pytest.param({"pp": 4, "dp": 1}, 4, marks=pytest.mark.slow),
+     ({"pp": 2, "dp": 1}, 1)],
 )
 def test_pp_loss_and_grads_match_single_device(axes, microbatches):
     params = _params()
@@ -112,6 +114,7 @@ def test_pp_train_step_matches_single_device():
     assert np.isfinite(float(l2))
 
 
+@pytest.mark.slow
 def test_pp_matches_single_device_gqa():
     """Pipeline stages run the GQA attention path identically."""
     cfg = TextConfig(

@@ -84,6 +84,7 @@ def test_spec_pool_identical(model, images):
         assert out1[b] == out0[a]
 
 
+@pytest.mark.slow
 def test_int8_kv_pool_identical(model_kv8, images):
     _, pairs, out0, out1 = _pools(model_kv8, images)
     for a, b in pairs:

@@ -171,6 +171,7 @@ def test_metrics_endpoint(server):
     assert "structured_coalesced" in m
 
 
+@pytest.mark.slow
 def test_concurrent_detect_coalesce(server):
     """Concurrent same-object detect requests through the live server all
     complete with valid structure whether or not they landed in one
@@ -343,6 +344,7 @@ def test_encode_cache(model):
         frontend.shutdown()
 
 
+@pytest.mark.slow
 def test_encode_window_batches_admissions(model):
     """Opt-in --encode-window: concurrent admissions share one batched
     ViT pass (encode_images). All requests complete and the encode
@@ -390,6 +392,7 @@ def test_gaze_endpoint(server):
     assert e.value.code == 400
 
 
+@pytest.mark.slow
 def test_mixed_load_soak(model):
     """Sustained mixed load through one frontend: plain + sampled +
     streamed captions, queries, coalesced detects, and a mid-flight
@@ -688,6 +691,7 @@ def test_struct_pool_server(model):
         frontend.shutdown()
 
 
+@pytest.mark.slow
 def test_variants_endpoint(model):
     """Multi-tenant LoRA over HTTP: a zero-B adapter's response is
     bitwise the base response (plumbing), a real adapter changes it,

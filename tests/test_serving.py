@@ -108,6 +108,7 @@ def test_submit_many_matches_sequential(model, images):
         eng.submit_many(images + images[:2], max_tokens=4)
 
 
+@pytest.mark.slow
 def test_serving_with_int4_model(images):
     """Continuous batching over a runtime-int4 model matches the int4
     sequential engine (both quantized: same weights, same rounding)."""

@@ -57,6 +57,7 @@ def test_spec_serving_various_k(model, images):
         assert got == ref, k
 
 
+@pytest.mark.slow
 def test_spec_serving_staggered_admission(model, images):
     plain = ContinuousBatchingEngine(model, n_slots=3, slot_len=1024, chunk=3)
     spec = ContinuousBatchingEngine(
@@ -142,6 +143,7 @@ def test_spec_serving_sampled_pool(model, images):
     assert eng.spec_accept_rate is not None
 
 
+@pytest.mark.slow
 def test_spec_serving_int4_kv8(images):
     from moondream_tpu.models.text import quantize_text_params
 

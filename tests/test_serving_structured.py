@@ -80,6 +80,7 @@ def test_pooled_detect_point_match_single(model, images):
     assert out[r_pts] == want_pts
 
 
+@pytest.mark.slow
 def test_mixed_text_and_structured_pool(model, images):
     """A caption, a detect, and a point share the pool; each must equal
     its single-path result, and a text request admitted into the slot a
@@ -126,6 +127,7 @@ def test_structured_cancel_and_spec_guard(model, images):
         eng.submit_detect(images[0], "object", max_objects=50)
 
 
+@pytest.mark.slow
 def test_structured_composes_with_speculative(model, images):
     """Speculative x structured composition (serve_chunk_mixed_spec): one
     greedy pool serves a caption at spec speed AND detect/point/gaze
@@ -159,6 +161,7 @@ def test_structured_composes_with_speculative(model, images):
     assert out[r_cap2] == _sequential_caption(model, images[0], 8)
 
 
+@pytest.mark.slow
 def test_spec_pool_structured_only(model, images):
     """An all-structured pool under speculation: every chunk routes
     through the mixed-spec path (no text rows at all)."""
@@ -193,6 +196,7 @@ def test_spec_pool_sampled_falls_back_to_plain_mixed(model, images):
     assert isinstance(out[r_txt], str)
 
 
+@pytest.mark.slow
 def test_structured_pool_with_int8_kv(images):
     """Mixed chunks compose with the int8 KV cache: pooled detect equals
     the single-path detect on the same kv8 model."""
@@ -222,6 +226,7 @@ def test_structured_pool_with_int8_kv(images):
     assert out[rid] == want
 
 
+@pytest.mark.slow
 def test_structured_pool_sharded(model, images):
     """Mixed chunks compose with the tensor-parallel pool: pooled detect
     over a dp x tp mesh equals the single-device pooled result."""

@@ -38,7 +38,8 @@ def _image(seed=0):
     )
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [0, pytest.param(1, marks=pytest.mark.slow),
+                                  pytest.param(2, marks=pytest.mark.slow)])
 def test_spec_matches_plain_greedy(seed):
     model = _model(seed=seed)
     enc = model.encode_image(_image(seed))
@@ -62,6 +63,7 @@ def test_spec_respects_max_tokens_exactly():
         assert a1 == a0, (mt, a0, a1)
 
 
+@pytest.mark.slow
 def test_spec_various_k():
     model = _model(seed=4)
     enc = model.encode_image(_image(4))
@@ -111,6 +113,7 @@ def test_spec_engine_level_repetitive_sequence():
     assert int(r0.pos) == int(r1.pos)
 
 
+@pytest.mark.slow
 def test_spec_with_int4_params():
     from moondream_tpu.models.text import quantize_text_params
 
@@ -127,7 +130,7 @@ def test_spec_with_int4_params():
     assert a1 == a0
 
 
-@pytest.mark.parametrize("seed", [0, 8])
+@pytest.mark.parametrize("seed", [0, pytest.param(8, marks=pytest.mark.slow)])
 def test_spec_streaming_matches_plain(seed):
     """The speculative streaming path (host drafts + jitted verify step)
     emits exactly the plain greedy stream's text."""
@@ -153,6 +156,7 @@ def test_spec_streaming_matches_plain(seed):
     assert fused == base
 
 
+@pytest.mark.slow
 def test_spec_with_kv_int8():
     """Spec verify spans (q_len > 1) hit the XLA dequant branch of the
     int8 KV cache; outputs must still match the plain greedy loop."""
@@ -180,6 +184,7 @@ def test_spec_sampled_smoke():
     assert isinstance(out, str)
 
 
+@pytest.mark.slow
 def test_spec_sampled_preserves_marginal_distribution():
     """The first stochastic token's empirical distribution under the
     sampled spec loop must match the plain sampled loop's (speculative

@@ -30,11 +30,24 @@ def main():
     # statically calibrated arm (round-4 verdict #4): per-channel act amax
     # observed on 16 calibration crops, SmoothQuant equalizer folded into
     # the weights, per-tensor act scale folded into inv_a/scale — no
-    # runtime amax reduction passes
+    # runtime amax reduction passes. Calibration runs on the HOST CPU
+    # backend against a bit-identical weight twin (same PRNG key; threefry
+    # is platform-invariant): it is a one-time offline step, and the
+    # tunnel's remote-compile service repeatedly dropped the ~25-min
+    # calibration-graph compile (broken pipe, 2026-08-20) — the host is
+    # where real deployments calibrate anyway (next to the checkpoint
+    # loader, before weights ship to the chip).
     t0 = time.perf_counter()
-    stats = collect_vision_act_stats(x[:16], w, cfg, chunk=16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        w_cpu = init_vision_params(cfg, jax.random.PRNGKey(0))
+        cal = jax.random.uniform(
+            jax.random.PRNGKey(1), (16, cfg.crop_size, cfg.crop_size, 3),
+            jnp.bfloat16, -1.0, 1.0,
+        )
+    stats = collect_vision_act_stats(cal, w_cpu, cfg, chunk=16, backend="cpu")
     wq_s = quantize_vision_params(w, act_stats=stats)
-    print(f"calibration: {time.perf_counter()-t0:.1f}s", flush=True)
+    print(f"calibration (host cpu): {time.perf_counter()-t0:.1f}s", flush=True)
 
     def probe():
         a = jnp.ones((8192, 8192), jnp.bfloat16)
