@@ -152,9 +152,24 @@ def collect_vision_act_stats(
     n = crops_bhwc.shape[0]
     if n > chunk:  # keep one compiled chunk shape; drop the ragged tail
         n = (n // chunk) * chunk
-    for i in range(0, n, chunk):
-        s = run(crops_bhwc[i : i + chunk])
-        merged = s if merged is None else jax.tree.map(jnp.maximum, merged, s)
+    # Keep host-CPU executables out of the persistent compilation cache:
+    # cache entries are not keyed on host machine features, and loading a
+    # CPU AOT result compiled on a different machine warns about
+    # potential SIGILL (seen with the tunneled remote-compile service).
+    # Calibration compiles in ~seconds on CPU, so caching buys nothing.
+    prev_cache = None
+    if backend == "cpu":
+        prev_cache = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        for i in range(0, n, chunk):
+            s = run(crops_bhwc[i : i + chunk])
+            merged = s if merged is None else jax.tree.map(
+                jnp.maximum, merged, s
+            )
+    finally:
+        if backend == "cpu":
+            jax.config.update("jax_compilation_cache_dir", prev_cache)
     return jax.tree.map(lambda t: np.asarray(t), merged)
 
 
