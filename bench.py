@@ -386,6 +386,20 @@ def child_main(args):
         jax.device_get(c.ravel()[0])
         return iters * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
 
+    _h2d_buf = np.ones((16, 1024, 1024), np.uint8)  # 16 MB
+
+    def probe_h2d_mbs():
+        # The matmul probe misses the OTHER chip-state axis: tunnel H2D
+        # throughput, which bounds pipelined streams (56 MB of raw images
+        # per stream; at the nominal ~42 MB/s it fully overlaps device
+        # work, but observed stream scatter of 2.8-5.8 img/s with ALL
+        # probes 124-130 TF/s healthy implicates H2D drops). Recorded
+        # per-rep for diagnosis — not (yet) part of the health gate.
+        t0 = time.perf_counter()
+        x = jax.device_put(_h2d_buf)
+        jax.block_until_ready(x)
+        return _h2d_buf.nbytes / (time.perf_counter() - t0) / 2**20
+
     # Every round-3 child's FIRST probe read ~0.0-0.3 TF/s and burned a
     # 60 s "degraded" wait — a freshly-connected backend warms up over the
     # first couple of dispatches, which is indistinguishable from a
@@ -426,10 +440,12 @@ def child_main(args):
                 pre = probe_tfs()
             val = run_once()
             post = probe_tfs()
+            h2d = probe_h2d_mbs()
             ok = pre >= HEALTHY_TFS and post >= HEALTHY_TFS
             everything.append(val)
             log(f"[{tag}] rep {i}: {val:.4g} (probe {pre:.0f}/{post:.0f} "
-                f"TF/s, {'healthy' if ok else 'DEGRADED'})")
+                f"TF/s, h2d {h2d:.0f} MB/s, "
+                f"{'healthy' if ok else 'DEGRADED'})")
             if ok:
                 healthy.append(val)
             if len(healthy) >= want or time_left() < 60:
@@ -875,19 +891,21 @@ def child_main(args):
                 assert len(out) == len(stream)
                 ips = len(stream) / dt
                 post = probe_tfs()
+                h2d = probe_h2d_mbs()
                 ok = pre >= HEALTHY_TFS and post >= HEALTHY_TFS
                 reps.append({
                     "arm": tag, "round": rnd,
                     "images_per_sec": round(ips, 4),
                     "pre_tfs": round(pre, 1), "post_tfs": round(post, 1),
+                    "h2d_mbs": round(h2d, 1),
                     "healthy": ok,
                 })
                 everything[tag].append(ips)
                 if ok:
                     healthy[tag].append(ips)
                 log(f"[headline_ab] round {rnd} {tag}: {ips:.4g} img/s "
-                    f"(probe {pre:.0f}/{post:.0f} TF/s, "
-                    f"{'healthy' if ok else 'DEGRADED'})")
+                    f"(probe {pre:.0f}/{post:.0f} TF/s, h2d {h2d:.0f} "
+                    f"MB/s, {'healthy' if ok else 'DEGRADED'})")
             fields["headline_ab_reps"] = reps
             for tag, _, _, key in arms:
                 vals = healthy[tag] or everything[tag]
@@ -1003,19 +1021,21 @@ def child_main(args):
                 assert len(out) == len(stream)
                 ips = len(stream) / dt
                 post = probe_tfs()
+                h2d = probe_h2d_mbs()
                 ok = pre >= HEALTHY_TFS and post >= HEALTHY_TFS
                 reps.append({
                     "arm": tag, "round": rnd,
                     "images_per_sec": round(ips, 4),
                     "pre_tfs": round(pre, 1), "post_tfs": round(post, 1),
+                    "h2d_mbs": round(h2d, 1),
                     "healthy": ok,
                 })
                 everything[tag].append(ips)
                 if ok:
                     healthy[tag].append(ips)
                 log(f"[vit8_ab] round {rnd} {tag}: {ips:.4g} img/s "
-                    f"(probe {pre:.0f}/{post:.0f} TF/s, "
-                    f"{'healthy' if ok else 'DEGRADED'})")
+                    f"(probe {pre:.0f}/{post:.0f} TF/s, h2d {h2d:.0f} "
+                    f"MB/s, {'healthy' if ok else 'DEGRADED'})")
             fields["vit8_ab_reps"] = reps
             for tag, _, key in arms:
                 vals = healthy[tag] or everything[tag]
