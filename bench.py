@@ -1036,7 +1036,9 @@ def child_main(args):
                 log(f"[vit8_ab] round {rnd} {tag}: {ips:.4g} img/s "
                     f"(probe {pre:.0f}/{post:.0f} TF/s, h2d {h2d:.0f} "
                     f"MB/s, {'healthy' if ok else 'DEGRADED'})")
-            fields["vit8_ab_reps"] = reps
+            # key per config: vit8_ab_b12 and vit8s_spec_ab_b12 both run
+            # this block and must not overwrite each other's rep records
+            fields[f"{name}_reps"] = reps
             for tag, _, key in arms:
                 vals = healthy[tag] or everything[tag]
                 if vals:
