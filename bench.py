@@ -43,6 +43,12 @@ def log(*a):
 
 
 HEALTHY_TFS = 80.0
+# Tunnel H2D floor for a healthy rep: observed healthy windows read
+# 46-92 MB/s on the 16MB device_put probe; the collapse mode reads
+# ~1.5 MB/s (2026-08-20 full-sweep artifact — a spec_bf16 rep lost 23%
+# throughput to it while both TF/s brackets passed). 20 MB/s separates
+# the modes with wide margin on both sides.
+HEALTHY_H2D_MBS = 20.0
 
 # Configs ordered by SCORING VALUE (round-4 verdict #1): `headline_ab`
 # interleaves ALL FOUR headline candidates A/B/A/B inside one probe
@@ -254,7 +260,8 @@ def aggregate(args, fields, configs_done, configs_skipped,
         "configs_failed": list(configs_failed),
         "health_policy": (
             "per-config subprocess isolation; probe-bracketed reps; "
-            f"median of healthy (>= {HEALTHY_TFS:.0f} TF/s pre+post)"
+            f"median of healthy (>= {HEALTHY_TFS:.0f} TF/s pre+post, "
+            f"h2d >= {HEALTHY_H2D_MBS:.0f} MB/s)"
         ),
         "spec_note": (
             "spec configs are exact greedy; random weights accept ~2.0 "
@@ -441,7 +448,8 @@ def child_main(args):
             val = run_once()
             post = probe_tfs()
             h2d = probe_h2d_mbs()
-            ok = pre >= HEALTHY_TFS and post >= HEALTHY_TFS
+            ok = (pre >= HEALTHY_TFS and post >= HEALTHY_TFS
+                  and h2d >= HEALTHY_H2D_MBS)
             everything.append(val)
             log(f"[{tag}] rep {i}: {val:.4g} (probe {pre:.0f}/{post:.0f} "
                 f"TF/s, h2d {h2d:.0f} MB/s, "
@@ -892,7 +900,8 @@ def child_main(args):
                 ips = len(stream) / dt
                 post = probe_tfs()
                 h2d = probe_h2d_mbs()
-                ok = pre >= HEALTHY_TFS and post >= HEALTHY_TFS
+                ok = (pre >= HEALTHY_TFS and post >= HEALTHY_TFS
+                      and h2d >= HEALTHY_H2D_MBS)
                 reps.append({
                     "arm": tag, "round": rnd,
                     "images_per_sec": round(ips, 4),
@@ -1022,7 +1031,8 @@ def child_main(args):
                 ips = len(stream) / dt
                 post = probe_tfs()
                 h2d = probe_h2d_mbs()
-                ok = pre >= HEALTHY_TFS and post >= HEALTHY_TFS
+                ok = (pre >= HEALTHY_TFS and post >= HEALTHY_TFS
+                      and h2d >= HEALTHY_H2D_MBS)
                 reps.append({
                     "arm": tag, "round": rnd,
                     "images_per_sec": round(ips, 4),
