@@ -445,14 +445,15 @@ def child_main(args):
                     f"waiting {wait_s}s...")
                 time.sleep(wait_s)
                 pre = probe_tfs()
+            h2d_pre = probe_h2d_mbs()
             val = run_once()
             post = probe_tfs()
             h2d = probe_h2d_mbs()
             ok = (pre >= HEALTHY_TFS and post >= HEALTHY_TFS
-                  and h2d >= HEALTHY_H2D_MBS)
+                  and min(h2d_pre, h2d) >= HEALTHY_H2D_MBS)
             everything.append(val)
             log(f"[{tag}] rep {i}: {val:.4g} (probe {pre:.0f}/{post:.0f} "
-                f"TF/s, h2d {h2d:.0f} MB/s, "
+                f"TF/s, h2d {h2d_pre:.0f}/{h2d:.0f} MB/s, "
                 f"{'healthy' if ok else 'DEGRADED'})")
             if ok:
                 healthy.append(val)
@@ -893,6 +894,7 @@ def child_main(args):
                     break
                 set_text(params)
                 pre = probe_tfs()
+                h2d_pre = probe_h2d_mbs()
                 t0 = time.perf_counter()
                 out = pipe.caption(stream, settings=settings)
                 dt = time.perf_counter() - t0
@@ -901,11 +903,12 @@ def child_main(args):
                 post = probe_tfs()
                 h2d = probe_h2d_mbs()
                 ok = (pre >= HEALTHY_TFS and post >= HEALTHY_TFS
-                      and h2d >= HEALTHY_H2D_MBS)
+                      and min(h2d_pre, h2d) >= HEALTHY_H2D_MBS)
                 reps.append({
                     "arm": tag, "round": rnd,
                     "images_per_sec": round(ips, 4),
                     "pre_tfs": round(pre, 1), "post_tfs": round(post, 1),
+                    "h2d_pre_mbs": round(h2d_pre, 1),
                     "h2d_mbs": round(h2d, 1),
                     "healthy": ok,
                 })
@@ -913,8 +916,9 @@ def child_main(args):
                 if ok:
                     healthy[tag].append(ips)
                 log(f"[headline_ab] round {rnd} {tag}: {ips:.4g} img/s "
-                    f"(probe {pre:.0f}/{post:.0f} TF/s, h2d {h2d:.0f} "
-                    f"MB/s, {'healthy' if ok else 'DEGRADED'})")
+                    f"(probe {pre:.0f}/{post:.0f} TF/s, h2d "
+                    f"{h2d_pre:.0f}/{h2d:.0f} MB/s, "
+                    f"{'healthy' if ok else 'DEGRADED'})")
             fields["headline_ab_reps"] = reps
             for tag, _, _, key in arms:
                 vals = healthy[tag] or everything[tag]
@@ -1024,6 +1028,7 @@ def child_main(args):
                     break
                 set_vision(p)
                 pre = probe_tfs()
+                h2d_pre = probe_h2d_mbs()
                 t0 = time.perf_counter()
                 out = pipe.caption(stream, settings=settings)
                 dt = time.perf_counter() - t0
@@ -1032,11 +1037,12 @@ def child_main(args):
                 post = probe_tfs()
                 h2d = probe_h2d_mbs()
                 ok = (pre >= HEALTHY_TFS and post >= HEALTHY_TFS
-                      and h2d >= HEALTHY_H2D_MBS)
+                      and min(h2d_pre, h2d) >= HEALTHY_H2D_MBS)
                 reps.append({
                     "arm": tag, "round": rnd,
                     "images_per_sec": round(ips, 4),
                     "pre_tfs": round(pre, 1), "post_tfs": round(post, 1),
+                    "h2d_pre_mbs": round(h2d_pre, 1),
                     "h2d_mbs": round(h2d, 1),
                     "healthy": ok,
                 })
@@ -1044,8 +1050,9 @@ def child_main(args):
                 if ok:
                     healthy[tag].append(ips)
                 log(f"[vit8_ab] round {rnd} {tag}: {ips:.4g} img/s "
-                    f"(probe {pre:.0f}/{post:.0f} TF/s, h2d {h2d:.0f} "
-                    f"MB/s, {'healthy' if ok else 'DEGRADED'})")
+                    f"(probe {pre:.0f}/{post:.0f} TF/s, h2d "
+                    f"{h2d_pre:.0f}/{h2d:.0f} MB/s, "
+                    f"{'healthy' if ok else 'DEGRADED'})")
             # key per config: vit8_ab_b12 and vit8s_spec_ab_b12 both run
             # this block and must not overwrite each other's rep records
             fields[f"{name}_reps"] = reps
